@@ -1,0 +1,259 @@
+"""The jit-compiled classification pipeline (the mappy-map replacement).
+
+Reference hot loop being re-designed: per read ``index.map(str(seq))``,
+keep primary hits with ``mapq >= 60`` as (ctg, NM, mlen), pick best by
+min NM/mlen, exact tie -> ambiguous, then count by mode
+(`monica/genomes/aligner.py:179-279,328-339`).
+
+Here a whole read batch moves through sketch -> seed lookup -> diagonal
+vote chaining -> (optional banded extension) as one XLA program with
+static shapes.  Strings never reach the device: tax units/accessions
+are integer ids resolved against IndexMeta on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monica_tpu.index.build import BuiltIndex, IndexShard
+from monica_tpu.index import minimizer as mz
+from monica_tpu.ops import lookup as lk
+from monica_tpu.ops import chain as ch
+
+# read status codes (host routing: mapped/unmapped/ambiguous folders,
+# reference aligner.py:209-211,232,243,265)
+UNMAPPED = 0
+MAPPED = 1
+AMBIGUOUS = 2
+
+# count modes (reference aligner.py:247-263)
+MODE_BASIC = 0
+MODE_QUERY_LENGTH = 1
+MODE_MATCHING = 2
+COUNT_MODES = {"basic": MODE_BASIC, "query_length": MODE_QUERY_LENGTH, "matching": MODE_MATCHING}
+
+
+class DeviceIndexShard(NamedTuple):
+    """One index shard as device arrays (pytree)."""
+
+    mz_hash: jnp.ndarray  # (M,) uint32 sorted
+    mz_pos: jnp.ndarray  # (M,) int32
+    mz_strand: jnp.ndarray  # (M,) bool
+    pos_acc: jnp.ndarray  # (T,) int32 position -> accession id
+    ref_codes: jnp.ndarray  # (T,) uint8 packed reference
+
+
+def device_shard(shard: IndexShard) -> DeviceIndexShard:
+    return DeviceIndexShard(
+        mz_hash=jnp.asarray(shard.mz_hash),
+        mz_pos=jnp.asarray(shard.mz_pos),
+        mz_strand=jnp.asarray(shard.mz_strand.astype(bool)),
+        pos_acc=jnp.asarray(shard.pos_accession_id.astype(np.int32)),
+        ref_codes=jnp.asarray(shard.ref_codes),
+    )
+
+
+def stack_device_shards(shards: list[IndexShard]) -> DeviceIndexShard:
+    """Pad shards to common sizes and stack on a leading axis for
+    sharding over the mesh ``index`` axis.  Hash padding uses
+    INVALID_HASH, which sorts to the end and never matches a query."""
+    M = max(s.n_minimizers for s in shards)
+    T = max(len(s.ref_codes) for s in shards)
+
+    def pad(a, n, fill):
+        out = np.full((n,), fill, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return DeviceIndexShard(
+        mz_hash=jnp.asarray(np.stack([pad(s.mz_hash, M, mz.INVALID_HASH) for s in shards])),
+        mz_pos=jnp.asarray(np.stack([pad(s.mz_pos, M, 0) for s in shards])),
+        mz_strand=jnp.asarray(np.stack([pad(s.mz_strand, M, 0) for s in shards]).astype(bool)),
+        pos_acc=jnp.asarray(
+            np.stack([pad(s.pos_accession_id.astype(np.int32), T, 0) for s in shards])
+        ),
+        ref_codes=jnp.asarray(np.stack([pad(s.ref_codes, T, 4) for s in shards])),
+    )
+
+
+class ClassifyParams(NamedTuple):
+    """Static pipeline parameters (hashable -> usable as jit static arg)."""
+
+    k: int = mz.K_DEFAULT
+    w: int = mz.W_DEFAULT
+    n_slots: int = 128  # minimizer slots per read
+    hits_per_seed: int = 8
+    max_occ: int = 64
+    mapping_quality: float = 60.0  # reference default (monica aligner.py:65)
+    min_votes: int = 3  # noise floor for a callable chain
+
+
+class ShardHit(NamedTuple):
+    """Per-read best candidate within one index shard — the device
+    analog of the (ctg, NM, mlen) hit tuples (`aligner.py:195`)."""
+
+    acc_id: jnp.ndarray  # (B,) int32 accession id within the global table
+    inv_identity: jnp.ndarray  # (B,) f32 NM/mlen analog (lower = better)
+    mlen: jnp.ndarray  # (B,) int32 matching-bases estimate
+    mapq: jnp.ndarray  # (B,) f32
+    votes: jnp.ndarray  # (B,) int32 chain score f1
+    passed: jnp.ndarray  # (B,) bool mapq filter passed
+    rc: jnp.ndarray  # (B,) bool
+    ref_pos: jnp.ndarray  # (B,) int32 representative anchor target position
+
+
+def classify_shard(
+    index: DeviceIndexShard,
+    codes: jnp.ndarray,  # (B, L) uint8
+    lengths: jnp.ndarray,  # (B,) int32
+    params: ClassifyParams,
+) -> ShardHit:
+    """Best hit of every read against one shard (pure jnp, jit-safe)."""
+    B, L = codes.shape
+
+    qh, qp, qs, qv = mz.sketch_reads_jax(codes, params.n_slots, params.k, params.w)
+    # mask slots beyond the true read length (padding makes fake kmers
+    # impossible — PAD_CODE invalidates them — but be explicit)
+    qv = qv & (qp < (lengths[:, None] - params.k + 1))
+
+    key, diag, rpos, fpos = lk.lookup_anchors(
+        index.mz_hash,
+        index.mz_pos,
+        index.mz_strand,
+        qh,
+        qp,
+        qs,
+        qv,
+        lengths,
+        max_occ=params.max_occ,
+        hits_per_seed=params.hits_per_seed,
+        bucket_len=L,
+    )
+    res = ch.chain_votes(key, diag, rpos, fpos)
+    mapq = ch.mapq_from_votes(res.f1, res.f2)
+
+    # anchor-count identity estimate: a k-mer survives error rate e with
+    # prob (1-e)^k, so votes/slots ~ id^k  =>  id ~ (f1/slots)^(1/k).
+    # Banded extension (ops.extend) refines this when enabled.
+    n_valid = jnp.maximum(jnp.sum(qv, axis=-1), 1).astype(jnp.float32)
+    frac = jnp.clip(res.f1.astype(jnp.float32) / n_valid, 1e-6, 1.0)
+    identity = jnp.exp(jnp.log(frac) / params.k)
+    lf = lengths.astype(jnp.float32)
+    mlen = jnp.maximum(identity * lf, 1.0)
+    inv_identity = (1.0 - identity) / jnp.maximum(identity, 1e-6)
+
+    acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
+    passed = (
+        (mapq >= params.mapping_quality)
+        & (res.f1 >= params.min_votes)
+        & (lengths > 0)
+    )
+    return ShardHit(
+        acc_id=acc_id.astype(jnp.int32),
+        inv_identity=inv_identity,
+        mlen=mlen.astype(jnp.int32),
+        mapq=mapq,
+        votes=res.f1,
+        passed=passed,
+        rc=res.rc,
+        ref_pos=res.rep_ref_pos,
+    )
+
+
+class ReadResult(NamedTuple):
+    """Final per-read classification (single- or merged multi-shard)."""
+
+    status: jnp.ndarray  # (B,) int32 UNMAPPED/MAPPED/AMBIGUOUS
+    acc_id: jnp.ndarray  # (B,) int32 (-1 when not mapped)
+    inv_identity: jnp.ndarray  # (B,) f32
+    mlen: jnp.ndarray  # (B,) int32
+    mapq: jnp.ndarray  # (B,) f32
+    rc: jnp.ndarray  # (B,) bool
+
+
+def finalize_single(hit: ShardHit) -> ReadResult:
+    status = jnp.where(hit.passed, MAPPED, UNMAPPED)
+    return ReadResult(
+        status=status.astype(jnp.int32),
+        acc_id=jnp.where(hit.passed, hit.acc_id, -1),
+        inv_identity=hit.inv_identity,
+        mlen=jnp.where(hit.passed, hit.mlen, 0),
+        mapq=hit.mapq,
+        rc=hit.rc,
+    )
+
+
+def merge_hits(hits: ShardHit) -> ReadResult:
+    """Merge per-shard hits stacked on axis 0 — the device analog of
+    merging per-chunk ``hits.pkl`` and running ``best_hit``
+    (`aligner.py:219-231,328-339`): best = min inv_identity among
+    passing shards; an exact tie between two passing shards with
+    different accessions -> AMBIGUOUS."""
+    S, B = hits.passed.shape
+    BIG = jnp.float32(1e9)
+    cost = jnp.where(hits.passed, hits.inv_identity, BIG)  # (S, B)
+    best_s = jnp.argmin(cost, axis=0)  # (B,)
+    take = lambda x: jnp.take_along_axis(x, best_s[None], axis=0)[0]
+    best_cost = take(cost)
+    n_pass = jnp.sum(hits.passed, axis=0)
+    any_pass = n_pass > 0
+
+    # tie detection: another passing shard achieving the same cost
+    is_best = jnp.arange(S)[:, None] == best_s[None, :]
+    tie = jnp.any((cost == best_cost[None, :]) & ~is_best & hits.passed, axis=0)
+
+    status = jnp.where(any_pass, jnp.where(tie, AMBIGUOUS, MAPPED), UNMAPPED)
+    mapped = status == MAPPED
+    return ReadResult(
+        status=status.astype(jnp.int32),
+        acc_id=jnp.where(mapped, take(hits.acc_id), -1),
+        inv_identity=best_cost,
+        mlen=jnp.where(mapped, take(hits.mlen), 0),
+        mapq=take(hits.mapq),
+        rc=take(hits.rc),
+    )
+
+
+def count_reads(
+    result: ReadResult,
+    lengths: jnp.ndarray,
+    n_accessions: int,
+    count_mode: int,
+) -> jnp.ndarray:
+    """Per-accession count vector for this batch (int32; the host
+    accumulates batches in int64).  Count modes per `aligner.py:247-263`:
+    basic=1, query_length=len(read), matching=mlen."""
+    value = jnp.where(
+        count_mode == MODE_BASIC,
+        jnp.ones_like(lengths),
+        jnp.where(count_mode == MODE_QUERY_LENGTH, lengths, result.mlen),
+    )
+    mapped = result.status == MAPPED
+    seg = jnp.where(mapped, result.acc_id, n_accessions)  # overflow bucket
+    counts = jax.ops.segment_sum(
+        jnp.where(mapped, value, 0).astype(jnp.int32),
+        seg,
+        num_segments=n_accessions + 1,
+    )
+    return counts[:n_accessions]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_accessions", "count_mode"))
+def classify_batch(
+    index: DeviceIndexShard,
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    params: ClassifyParams,
+    n_accessions: int,
+    count_mode: int = MODE_QUERY_LENGTH,
+):
+    """Single-shard end-to-end step: reads -> (per-read result, counts)."""
+    hit = classify_shard(index, codes, lengths, params)
+    result = finalize_single(hit)
+    counts = count_reads(result, lengths, n_accessions, count_mode)
+    return result, counts

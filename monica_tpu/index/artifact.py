@@ -1,0 +1,123 @@
+"""Index artifact serialization + cache registry (the ``.mmi`` analog).
+
+The reference caches minimap2 ``.mmi`` files in config-encoded folder
+names like ``G_<species>_m_<mode>_im_<GB>`` that are *parsed back* into
+species lists (`monica/monica.py:206-225,244-245`) and registers
+external folders in ``~/.monica/.outside_indexes``
+(`monica/monica.py:188-205`).  Here artifacts are content-addressed
+``.npz`` shard files plus an explicit ``manifest.json`` (no information
+is round-tripped through folder names), while keeping the G_/H_/F_
+prefix convention and the outside-registry file for CLI parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from monica_tpu.index.build import BuiltIndex, IndexMeta, IndexShard
+
+MANIFEST = "manifest.json"
+OUTSIDE_REGISTRY = ".outside_indexes"
+
+
+def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    meta = index.meta
+    manifest = {
+        "format": "monica_tpu.index.v1",
+        "k": meta.k,
+        "w": meta.w,
+        "n_shards": len(index.shards),
+        "tax_units": meta.tax_units,
+        "accessions": meta.accessions,
+        "genome_lengths": [int(x) for x in meta.genome_lengths],
+    }
+    with open(folder / MANIFEST, "w") as fh:
+        json.dump(manifest, fh)
+    for i, sh in enumerate(index.shards):
+        np.savez_compressed(
+            folder / f"shard{i}.npz",
+            ref_codes=sh.ref_codes,
+            seq_starts=sh.seq_starts,
+            seq_lengths=sh.seq_lengths,
+            seq_accession_id=sh.seq_accession_id,
+            mz_hash=sh.mz_hash,
+            mz_pos=sh.mz_pos,
+            mz_strand=sh.mz_strand,
+            pos_accession_id=sh.pos_accession_id,
+        )
+    return folder
+
+
+def load_index(folder: str | os.PathLike) -> BuiltIndex:
+    folder = Path(folder)
+    with open(folder / MANIFEST) as fh:
+        manifest = json.load(fh)
+    if manifest.get("format") != "monica_tpu.index.v1":
+        raise ValueError(f"not a monica_tpu index: {folder}")
+    meta = IndexMeta(
+        tax_units=manifest["tax_units"],
+        accessions=manifest["accessions"],
+        genome_lengths=np.asarray(manifest["genome_lengths"], dtype=np.int64),
+        k=manifest["k"],
+        w=manifest["w"],
+    )
+    shards = []
+    for i in range(manifest["n_shards"]):
+        z = np.load(folder / f"shard{i}.npz")
+        shards.append(
+            IndexShard(
+                ref_codes=z["ref_codes"],
+                seq_starts=z["seq_starts"],
+                seq_lengths=z["seq_lengths"],
+                seq_accession_id=z["seq_accession_id"],
+                mz_hash=z["mz_hash"],
+                mz_pos=z["mz_pos"],
+                mz_strand=z["mz_strand"],
+                pos_accession_id=z["pos_accession_id"],
+            )
+        )
+    return BuiltIndex(meta=meta, shards=shards)
+
+
+def is_index_dir(folder: str | os.PathLike) -> bool:
+    return (Path(folder) / MANIFEST).exists()
+
+
+# --------------------------------------------------------------------------
+# registry of known index folders (inside root + outside registrations)
+# --------------------------------------------------------------------------
+
+def list_indexes(indexes_path: Path, root: Path) -> list[Path]:
+    """All known index dirs: inside the root's indexes/ plus any folder
+    registered in ``.outside_indexes`` (reference: monica.py:743-759)."""
+    out = []
+    if indexes_path.exists():
+        for child in sorted(indexes_path.iterdir()):
+            if child.is_dir() and is_index_dir(child):
+                out.append(child)
+    reg = root / OUTSIDE_REGISTRY
+    if reg.exists():
+        for line in reg.read_text().splitlines():
+            line = line.strip()
+            if line and is_index_dir(line):
+                out.append(Path(line))
+    return out
+
+
+def register_outside_index(root: Path, folder: str | os.PathLike) -> None:
+    """Record an index folder living outside the root
+    (reference: monica.py:200-205)."""
+    reg = root / OUTSIDE_REGISTRY
+    existing = set()
+    if reg.exists():
+        existing = {l.strip() for l in reg.read_text().splitlines() if l.strip()}
+    folder = str(Path(folder).absolute())
+    if folder not in existing:
+        with open(reg, "a") as fh:
+            fh.write(folder + "\n")

@@ -1,0 +1,248 @@
+"""Reference index builder — the database+indexer replacement.
+
+Reference behavior being re-designed (not ported):
+
+* `monica/genomes/database.py:16-92` greedily bin-packs genome FASTAs
+  into ≤ max_chunk_size chunks, rewriting every record header to
+  ``species_name:accession`` and accumulating per-accession genome
+  lengths.
+* `monica/genomes/aligner.py:31-53` then builds one minimap2 ``.mmi``
+  index per chunk.
+
+TPU-native design: genomes are packed into flat uint8 code arrays (one
+per *index shard*; shard count = the ``index`` mesh axis size, and the
+byte budget per shard replaces ``max_chunk_size``), each with a
+hash-sorted minimizer table for O(log) seed lookup by binary search.
+``species_name:accession`` headers become integer accession ids with a
+metadata table — string work never reaches the device.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from monica_tpu.io import encode as enc
+from monica_tpu.io import seq as seqio
+from monica_tpu.index import minimizer as mz
+
+
+@dataclass
+class IndexMeta:
+    """Host-side metadata shared by all shards."""
+
+    tax_units: list[str]  # per accession-id: species_name (header part 0)
+    accessions: list[str]  # per accession-id: accession (header part 1)
+    genome_lengths: np.ndarray  # (n_accessions,) int64 total bp (database.py:65)
+    k: int = mz.K_DEFAULT
+    w: int = mz.W_DEFAULT
+
+    @property
+    def n_accessions(self) -> int:
+        return len(self.accessions)
+
+
+@dataclass
+class IndexShard:
+    """One shard: packed reference + sorted minimizer table (numpy)."""
+
+    ref_codes: np.ndarray  # (T,) uint8
+    seq_starts: np.ndarray  # (n_seqs,) int64
+    seq_lengths: np.ndarray  # (n_seqs,) int64
+    seq_accession_id: np.ndarray  # (n_seqs,) int32
+    mz_hash: np.ndarray  # (M,) uint32 sorted ascending
+    mz_pos: np.ndarray  # (M,) int32 global position within shard ref
+    mz_strand: np.ndarray  # (M,) uint8 (1 = canonical k-mer is on rc strand)
+    # per ref position -> accession id, for O(1) candidate attribution
+    # on device (uint16 supports 65k accessions/shard; plenty).
+    pos_accession_id: np.ndarray = field(default=None)  # (T,) uint16
+
+    @property
+    def n_minimizers(self) -> int:
+        return len(self.mz_hash)
+
+
+@dataclass
+class BuiltIndex:
+    meta: IndexMeta
+    shards: list[IndexShard]
+
+
+# ---------------------------------------------------------------------------
+# sketching a long reference in bounded-memory chunks
+# ---------------------------------------------------------------------------
+
+def sketch_long_sequence(
+    codes: np.ndarray, k: int, w: int, chunk: int = 1 << 23
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chunked host sketch of one flat code array.
+
+    Selection at k-mer position p depends only on hashes in
+    [p-w+1, p+w-1], so chunks overlapping by ``2w + k`` reproduce the
+    global selection except at the true array ends (where windows are
+    naturally truncated).
+    """
+    n = len(codes)
+    if n < k:
+        e = np.zeros(0)
+        return e.astype(np.uint32), e.astype(np.int64), e.astype(np.uint8)
+    overlap = 2 * w + k
+    hashes_l, pos_l, strand_l = [], [], []
+    start = 0
+    while start < n - k + 1:
+        stop = min(n, start + chunk)
+        lo = max(0, start - overlap)
+        hi = min(n, stop + overlap)
+        h, keep, s = mz.sketch_array(codes[None, lo:hi], k, w, np)
+        sel = np.nonzero(keep[0])[0]
+        gpos = sel + lo
+        own = (gpos >= start) & (gpos < stop)
+        sel, gpos = sel[own], gpos[own]
+        hashes_l.append(h[0][sel].astype(np.uint32))
+        pos_l.append(gpos.astype(np.int64))
+        strand_l.append(s[0][sel].astype(np.uint8))
+        start = stop
+    return (
+        np.concatenate(hashes_l) if hashes_l else np.zeros(0, np.uint32),
+        np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64),
+        np.concatenate(strand_l) if strand_l else np.zeros(0, np.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# genome bin-packing across shards (the _genomes_splitter analog)
+# ---------------------------------------------------------------------------
+
+def split_genomes(
+    sizes: list[int], n_shards: int | None = None, max_shard_bytes: int | None = None
+) -> list[list[int]]:
+    """Partition genome indices into shards.
+
+    Either a fixed shard count (mesh ``index`` axis size — balanced
+    greedy LPT assignment) or a byte budget per shard (streaming greedy,
+    the `database.py:70-92` behavior: oversized genome -> own shard).
+    """
+    if n_shards is not None:
+        order = np.argsort(sizes)[::-1]
+        loads = [0] * n_shards
+        shards: list[list[int]] = [[] for _ in range(n_shards)]
+        for i in order:
+            j = int(np.argmin(loads))
+            shards[j].append(int(i))
+            loads[j] += sizes[i]
+        return [sorted(s) for s in shards]
+    assert max_shard_bytes is not None
+    shards = []
+    cur: list[int] = []
+    cur_size = 0
+    for i, size in enumerate(sizes):
+        if size > max_shard_bytes:
+            if cur:
+                shards.append(cur)
+                cur, cur_size = [], 0
+            shards.append([i])
+        elif cur_size + size <= max_shard_bytes:
+            cur.append(i)
+            cur_size += size
+        else:
+            shards.append(cur)
+            cur, cur_size = [i], size
+    if cur:
+        shards.append(cur)
+    return shards
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+def build_index(
+    genomes: list[tuple[str, list[str]]],
+    n_shards: int = 1,
+    max_shard_bytes: int | None = None,
+    k: int = mz.K_DEFAULT,
+    w: int = mz.W_DEFAULT,
+    guard: int = 32,
+) -> BuiltIndex:
+    """Build a sharded index from genome FASTA files.
+
+    ``genomes``: list of (fasta_path, [species_name, accession]) — the
+    exact tuple contract the reference's fetcher hands to its database
+    builder (`monica/genomes/fetcher.py:252`).
+    """
+    tax_units = [g[1][0] for g in genomes]
+    accessions = [g[1][1] for g in genomes]
+    genome_lengths = np.zeros(len(genomes), dtype=np.int64)
+
+    # accession-id = position in the genomes list
+    sizes = []
+    all_codes: list[list[np.ndarray]] = []
+    for gi, (path, _hdr) in enumerate(genomes):
+        recs = [enc.encode_seq(r.seq) for r in seqio.read_fasta(path)]
+        all_codes.append(recs)
+        total = int(sum(len(r) for r in recs))
+        genome_lengths[gi] = total
+        sizes.append(total)
+
+    assignment = split_genomes(
+        sizes,
+        n_shards=n_shards if max_shard_bytes is None else None,
+        max_shard_bytes=max_shard_bytes,
+    )
+
+    shards = []
+    for members in assignment:
+        builder = enc.PackedSeqsBuilder(guard=guard)
+        for gi in members:
+            for rec_codes in all_codes[gi]:
+                builder.add(rec_codes, gi)
+        packed = builder.build()
+        if len(packed.codes) >= 2**30:
+            raise ValueError(
+                "index shard exceeds 1 Gbase; raise n_shards or lower "
+                "max_shard_bytes (per-shard positions are int32)"
+            )
+        h, pos, strand = sketch_long_sequence(packed.codes, k, w)
+        order = np.argsort(h, kind="stable")
+        # per-position accession id for device-side attribution
+        pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
+        for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
+            pos_acc[s0 : s0 + ln] = aid
+        shards.append(
+            IndexShard(
+                ref_codes=packed.codes,
+                seq_starts=packed.starts,
+                seq_lengths=packed.lengths,
+                seq_accession_id=packed.seq_accession_id,
+                mz_hash=h[order],
+                mz_pos=pos[order].astype(np.int32),
+                mz_strand=strand[order],
+                pos_accession_id=pos_acc,
+            )
+        )
+
+    meta = IndexMeta(
+        tax_units=tax_units,
+        accessions=accessions,
+        genome_lengths=genome_lengths,
+        k=k,
+        w=w,
+    )
+    return BuiltIndex(meta=meta, shards=shards)
+
+
+def content_key(genomes: list[tuple[str, list[str]]], k: int, w: int, n_shards: int) -> str:
+    """Content-addressed artifact key (replaces the reference's
+    config-encoded folder names, `monica/monica.py:244-245`)."""
+    hsh = hashlib.sha256()
+    hsh.update(f"k={k},w={w},shards={n_shards}".encode())
+    for path, hdr in genomes:
+        hsh.update("|".join(hdr).encode())
+        try:
+            hsh.update(str(os.path.getsize(path)).encode())
+        except OSError:
+            pass
+    return hsh.hexdigest()[:16]

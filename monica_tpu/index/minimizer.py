@@ -1,0 +1,150 @@
+"""Minimizer sketching (the mm_sketch analog), numpy- and jax-compatible.
+
+The reference delegates sketching to minimap2's C core via the ``mappy``
+index (`monica/genomes/aligner.py:45-46`, preset ``map-ont`` = k=15,
+w=10).  Here sketching is expressed as pure array ops so the same code
+runs vectorized on host (numpy, for the one-off index build) and inside
+``jit`` on TPU (jax.numpy, for per-batch read sketching).
+
+Algorithm: 2-bit rolling k-mers on both strands, canonical = min(fwd,
+rc), murmur3-finalizer hash, then (w)-window minimum selection done in
+O(log w) shifted-minimum passes:
+
+    m[j]      = min(h[j .. j+w-1])                 (sliding min)
+    keep[p]   = ( max(m[p-w+1 .. p]) == h[p] )     (sliding max of mins)
+
+``keep[p]`` is exactly "h[p] is the minimum of at least one window",
+including ties (all tied minima kept) — the standard winnowing set.
+Invalid k-mers (containing non-ACGT, or strand-symmetric) get hash
+0xFFFFFFFF and are never selected as real seeds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+# map-ont preset parameters (minimap2 defaults the reference relies on).
+K_DEFAULT = 15
+W_DEFAULT = 10
+
+INVALID_HASH = np.uint32(0xFFFFFFFF)
+
+
+def _u32(xp, v):
+    return xp.uint32(v) if xp is np else v  # jax handles python ints fine
+
+
+def fmix32(xp, h):
+    """Murmur3 32-bit finalizer — invertible avalanche mix."""
+    h = h ^ (h >> 16)
+    h = h * xp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * xp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _shift_fill(xp, x, s, fill):
+    """x shifted left by s positions (x[i] := x[i+s]), tail filled."""
+    if s == 0:
+        return x
+    pad = xp.full(x.shape[:-1] + (s,), fill, dtype=x.dtype)
+    return xp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def _windowed(xp, x, w, fill, op):
+    """op-reduction over forward windows: out[i] = op(x[i..i+w-1])."""
+    p2 = 1
+    while p2 * 2 <= w:
+        p2 *= 2
+    a = x
+    s = 1
+    while s < p2:
+        a = op(a, _shift_fill(xp, a, s, fill))
+        s *= 2
+    if w != p2:
+        a = op(a, _shift_fill(xp, a, w - p2, fill))
+    return a
+
+
+def kmer_hashes(codes, k: int = K_DEFAULT, xp=np):
+    """Canonical k-mer hashes at every position.
+
+    codes: (..., n) uint8 base codes.
+    Returns (hashes, strands): (..., n-k+1) uint32 / bool.  ``strands``
+    is True where the reverse complement is the canonical strand.
+    """
+    n = codes.shape[-1]
+    m = n - k + 1
+    if m <= 0:
+        raise ValueError(f"sequence shorter than k={k}")
+    fwd = xp.zeros(codes.shape[:-1] + (m,), dtype=xp.uint32)
+    rc = xp.zeros_like(fwd)
+    bad = xp.zeros(codes.shape[:-1] + (m,), dtype=bool)
+    for j in range(k):
+        c = codes[..., j : j + m].astype(xp.uint32)
+        bad = bad | (c >= 4)
+        fwd = (fwd << 2) | (c & 3)
+        rc = rc | (((3 - c) & 3) << xp.uint32(2 * j))
+    strand = rc < fwd
+    canonical = xp.minimum(fwd, rc)
+    h = fmix32(xp, canonical)
+    # mask non-ACGT windows and strand-symmetric k-mers (ambiguous strand)
+    h = xp.where(bad | (fwd == rc), xp.uint32(INVALID_HASH), h)
+    return h, strand
+
+
+def select_minimizers(hashes, w: int = W_DEFAULT, xp=np):
+    """Winnowing selection mask over k-mer hash arrays (..., m)."""
+    fill_min = xp.uint32(INVALID_HASH)
+    mins = _windowed(xp, hashes, w, fill_min, xp.minimum)  # m[j]
+    # max over the w windows *ending* at p == shifted-right window on mins.
+    # Implement as forward window on a right-shifted array: prepend fill.
+    pad = xp.zeros(hashes.shape[:-1] + (w - 1,), dtype=hashes.dtype)
+    mins_r = xp.concatenate([pad, mins], axis=-1)
+    maxs = _windowed(xp, mins_r, w, xp.uint32(0), xp.maximum)[..., : hashes.shape[-1]]
+    keep = (maxs == hashes) & (hashes != INVALID_HASH)
+    # positions past the last full window start still participate via
+    # earlier windows covering them, which the max pass already handles.
+    return keep
+
+
+def sketch_array(codes, k: int = K_DEFAULT, w: int = W_DEFAULT, xp=np):
+    """hashes, keep-mask and strands for a batch of code arrays."""
+    h, s = kmer_hashes(codes, k, xp)
+    keep = select_minimizers(h, w, xp)
+    return h, keep, s
+
+
+def sketch_sequence_np(codes: np.ndarray, k: int = K_DEFAULT, w: int = W_DEFAULT):
+    """Host-side sketch of one long sequence -> (hash, pos, strand) arrays."""
+    h, keep, s = sketch_array(codes[None, :], k, w, np)
+    pos = np.nonzero(keep[0])[0].astype(np.int64)
+    return h[0][pos].astype(np.uint32), pos, s[0][pos]
+
+
+def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT):
+    """Device-side sketch of a read batch into fixed minimizer slots.
+
+    codes: (B, L) uint8.  Returns (hash, pos, strand, valid) each of
+    shape (B, n_slots).  When a read yields more than ``n_slots``
+    minimizers, the n_slots *smallest hashes* are kept — an unbiased
+    (hash-uniform) subsample across the read, unlike prefix truncation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, keep, s = sketch_array(codes, k, w, jnp)
+    # key: selected minimizers first (by hash asc), everything else last
+    key = jnp.where(keep, h, jnp.uint32(INVALID_HASH))
+    # top_k picks largest, we want the *smallest* uint32 keys. Bias-flip
+    # the sign bit for an order-preserving uint32->int32 map, then
+    # bitwise-not (strictly decreasing, overflow-free) so largest==smallest key.
+    biased = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+    _, idx = jax.lax.top_k(jnp.bitwise_not(biased), n_slots)
+    hh = jnp.take_along_axis(h, idx, axis=-1)
+    ss = jnp.take_along_axis(s, idx, axis=-1)
+    kk = jnp.take_along_axis(keep, idx, axis=-1)
+    return hh, idx.astype(jnp.int32), ss, kk

@@ -1,0 +1,178 @@
+"""Base encoding, padding, and read-length bucketing (host side, numpy).
+
+TPU-first data layout: sequences become flat ``uint8`` code arrays
+(A,C,G,T -> 0..3; anything else -> 4) so the device pipeline works on
+static-shape integer tensors.  Reads are padded into power-of-two
+length buckets to bound XLA recompilation (the reference processes one
+Python string at a time through mappy, `monica/genomes/aligner.py:193`;
+here a batch of reads is one device array).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# Code for any non-ACGT base and for padding. Kept distinct from real
+# bases so k-mers covering it can be masked out.
+N_CODE = 4
+PAD_CODE = 4
+
+_LUT = np.full(256, N_CODE, dtype=np.uint8)
+for i, b in enumerate("ACGT"):
+    _LUT[ord(b)] = i
+    _LUT[ord(b.lower())] = i
+
+_DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_seq(seq: str | bytes) -> np.ndarray:
+    """Encode one sequence to uint8 codes."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii", errors="replace")
+    return _LUT[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    return _DECODE[np.minimum(codes, N_CODE)].tobytes().decode("ascii")
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement in code space (A<->T, C<->G; N stays N)."""
+    comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
+    return comp[::-1]
+
+
+@dataclass
+class ReadBatch:
+    """A padded batch of reads ready for device transfer.
+
+    codes:   (n, L) uint8, PAD_CODE beyond each read's length
+    lengths: (n,) int32 true lengths (clipped to L)
+    idx:     (n,) int32 indices into the originating read list
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    idx: np.ndarray
+
+    @property
+    def bucket_len(self) -> int:
+        return self.codes.shape[1]
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+
+DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def bucket_for_length(n: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def bucketize_reads(
+    seqs: list[str],
+    buckets=DEFAULT_BUCKETS,
+    max_batch: int | None = None,
+) -> list[ReadBatch]:
+    """Group reads into per-bucket padded batches.
+
+    Reads longer than the largest bucket are truncated to it (nanopore
+    ultra-long tail); classification on the prefix is still informative
+    and keeps shapes static.
+    """
+    per_bucket: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        per_bucket.setdefault(bucket_for_length(len(s), buckets), []).append(i)
+
+    out: list[ReadBatch] = []
+    for blen in sorted(per_bucket):
+        ids = per_bucket[blen]
+        step = max_batch or len(ids)
+        for off in range(0, len(ids), step):
+            chunk = ids[off : off + step]
+            codes = np.full((len(chunk), blen), PAD_CODE, dtype=np.uint8)
+            lengths = np.zeros(len(chunk), dtype=np.int32)
+            for row, i in enumerate(chunk):
+                enc = encode_seq(seqs[i])[:blen]
+                codes[row, : len(enc)] = enc
+                lengths[row] = len(enc)
+            out.append(ReadBatch(codes, lengths, np.asarray(chunk, dtype=np.int32)))
+    return out
+
+
+def pad_rows(batch: ReadBatch, multiple: int) -> ReadBatch:
+    """Pad the batch row count up to a multiple (for even mesh sharding).
+
+    Padded rows have length 0 and idx -1; the pipeline masks them out.
+    """
+    n = len(batch)
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return batch
+    codes = np.full((target, batch.bucket_len), PAD_CODE, dtype=np.uint8)
+    codes[:n] = batch.codes
+    lengths = np.zeros(target, dtype=np.int32)
+    lengths[:n] = batch.lengths
+    idx = np.full(target, -1, dtype=np.int32)
+    idx[:n] = batch.idx
+    return ReadBatch(codes, lengths, idx)
+
+
+@dataclass
+class PackedSeqs:
+    """Concatenated reference sequences as one flat code array.
+
+    The device-side "database": all genome sequences end-to-end with a
+    separator run of N_CODE between records so seeds/alignments cannot
+    bridge two sequences.  ``seq_accession_id`` maps each record to its
+    accession (multiple contigs per accession).
+    """
+
+    codes: np.ndarray  # (total,) uint8
+    starts: np.ndarray  # (n_seqs,) int64 start offset of each record
+    lengths: np.ndarray  # (n_seqs,) int64
+    seq_accession_id: np.ndarray  # (n_seqs,) int32
+
+    guard: int = 32  # separator length between records
+
+    def locate(self, pos: np.ndarray) -> np.ndarray:
+        """Map global positions to record indices (host-side helper)."""
+        return np.searchsorted(self.starts, pos, side="right") - 1
+
+
+class PackedSeqsBuilder:
+    def __init__(self, guard: int = 32):
+        self.guard = guard
+        self._chunks: list[np.ndarray] = []
+        self._starts: list[int] = []
+        self._lengths: list[int] = []
+        self._acc_ids: list[int] = []
+        self._off = 0
+
+    def add(self, codes: np.ndarray, accession_id: int) -> None:
+        self._starts.append(self._off)
+        self._lengths.append(len(codes))
+        self._acc_ids.append(accession_id)
+        self._chunks.append(codes)
+        self._chunks.append(np.full(self.guard, N_CODE, dtype=np.uint8))
+        self._off += len(codes) + self.guard
+
+    def build(self) -> PackedSeqs:
+        codes = (
+            np.concatenate(self._chunks)
+            if self._chunks
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return PackedSeqs(
+            codes=codes,
+            starts=np.asarray(self._starts, dtype=np.int64),
+            lengths=np.asarray(self._lengths, dtype=np.int64),
+            seq_accession_id=np.asarray(self._acc_ids, dtype=np.int32),
+            guard=self.guard,
+        )

@@ -1,0 +1,95 @@
+"""Chain scoring by diagonal voting (the minimap2-chaining analog).
+
+minimap2 chains anchors with an O(n·lookback) DP full of data-dependent
+branches — hostile to a SIMD machine.  Classification doesn't need the
+chain itself, only (a) the best location's strength, (b) the runner-up
+for a mapq-style uniqueness score, and (c) a representative anchor to
+seat banded extension.  Diagonal voting delivers all three with
+sort + batched binary searches: anchors sharing a (strand, diagonal-bin)
+key are co-linear with bounded indel drift, so the vote count of a bin
+is a gapless-chain score.
+
+Adjacent-bin merging (votes of bin + bin+1) removes the quantization
+cliff when a true chain straddles a bin boundary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monica_tpu.ops.lookup import INVALID_KEY
+
+
+class ChainResult(NamedTuple):
+    f1: jnp.ndarray  # (B,) int32 best merged-bin vote count (0 = no anchors)
+    f2: jnp.ndarray  # (B,) int32 runner-up votes outside the best locus
+    best_key: jnp.ndarray  # (B,) int32 packed (strand, diag bin)
+    rep_diag: jnp.ndarray  # (B,) int32 representative unquantized diagonal
+    rep_read_pos: jnp.ndarray  # (B,) int32
+    rep_ref_pos: jnp.ndarray  # (B,) int32
+    rc: jnp.ndarray  # (B,) bool reverse-complement mapping
+
+
+def _row_votes(sorted_keys):
+    """votes[i] = multiplicity of sorted_keys[i]; nxt[i] = count of key+1."""
+    left = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
+    right = jnp.searchsorted(sorted_keys, sorted_keys, side="right")
+    votes = (right - left).astype(jnp.int32)
+    nl = jnp.searchsorted(sorted_keys, sorted_keys + 1, side="left")
+    nr = jnp.searchsorted(sorted_keys, sorted_keys + 1, side="right")
+    return votes, (nr - nl).astype(jnp.int32)
+
+
+def chain_votes(key, diag, read_pos, ref_pos) -> ChainResult:
+    """Vote over anchor keys; all inputs (B, A) from lookup_anchors."""
+    B, A = key.shape
+    skeys = jnp.sort(key, axis=-1)
+    votes, nxt = jax.vmap(_row_votes)(skeys)
+
+    valid = skeys != INVALID_KEY
+    merged = jnp.where(valid, votes + nxt, 0)  # pair (bin, bin+1) score
+
+    best_i = jnp.argmax(merged, axis=-1)
+    f1 = jnp.take_along_axis(merged, best_i[:, None], axis=-1)[:, 0]
+    best_key = jnp.take_along_axis(skeys, best_i[:, None], axis=-1)[:, 0]
+
+    # runner-up: strongest locus at least 2 bins away from the best
+    far = valid & (jnp.abs(skeys - best_key[:, None]) > 1)
+    f2 = jnp.max(jnp.where(far, merged, 0), axis=-1)
+
+    # representative anchor: smallest read_pos within the winning pair
+    in_best = (key == best_key[:, None]) | (key == best_key[:, None] + 1)
+    big = jnp.int32(1 << 30)
+    sel = jnp.where(in_best, read_pos, big)
+    rep_i = jnp.argmin(sel, axis=-1)
+    take1 = lambda x: jnp.take_along_axis(x, rep_i[:, None], axis=-1)[:, 0]
+    rep_diag = take1(diag)
+    rep_read_pos = take1(read_pos)
+    rep_ref_pos = take1(ref_pos)
+    rc = (best_key >> 24) > 0
+
+    return ChainResult(
+        f1=f1,
+        f2=f2,
+        best_key=best_key,
+        rep_diag=rep_diag,
+        rep_read_pos=rep_read_pos,
+        rep_ref_pos=rep_ref_pos,
+        rc=rc,
+    )
+
+
+def mapq_from_votes(f1, f2, scale: float = 40.0, cap: float = 60.0):
+    """minimap2-shaped mapping quality from chain scores
+    (`aligner.py:194` consumes mappy's mapq; this is its analog):
+    mapq = 40·(1 - f2/f1)·min(1, m/10)·ln(f1), clamped to [0, cap].
+    """
+    f1f = f1.astype(jnp.float32)
+    f2f = f2.astype(jnp.float32)
+    safe_f1 = jnp.maximum(f1f, 1.0)
+    q = scale * (1.0 - f2f / safe_f1) * jnp.minimum(1.0, f1f / 10.0) * jnp.log(safe_f1)
+    q = jnp.where(f1 > 0, q, 0.0)
+    return jnp.clip(q, 0.0, cap)

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from monica_tpu.io.encode import encode_seq, revcomp_codes
+from monica_tpu.index import minimizer as mz
+from tests.fixtures import random_genome, revcomp
+
+
+def brute_force_winnow(h: np.ndarray, w: int) -> set[int]:
+    """Positions that are the min of at least one full-or-partial window."""
+    m = len(h)
+    sel = set()
+    for j in range(m):  # window start (allow partial tail windows, as impl does)
+        window = h[j : j + w]
+        lo = window.min()
+        if lo == mz.INVALID_HASH:
+            continue
+        for off in np.nonzero(window == lo)[0]:
+            sel.add(j + int(off))
+    return sel
+
+
+def test_kmer_hashes_strand_canonical():
+    rng = np.random.default_rng(0)
+    seq = random_genome(rng, 300)
+    codes = encode_seq(seq)
+    codes_rc = encode_seq(revcomp(seq))
+    h, _ = mz.kmer_hashes(codes[None], k=15, xp=np)
+    h_rc, _ = mz.kmer_hashes(codes_rc[None], k=15, xp=np)
+    # canonical hashing: the multiset of hashes is strand-invariant,
+    # position i on fwd == position m-1-i on rc
+    assert np.array_equal(h[0], h_rc[0][::-1])
+
+
+def test_kmer_hashes_masks_N():
+    seq = "ACGT" * 10 + "N" + "ACGT" * 10
+    codes = encode_seq(seq)
+    h, _ = mz.kmer_hashes(codes[None], k=15, xp=np)
+    n_pos = 40
+    for i in range(len(h[0])):
+        covers_n = i <= n_pos <= i + 14
+        if covers_n:
+            assert h[0][i] == mz.INVALID_HASH
+
+
+def test_select_minimizers_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        seq = random_genome(rng, 500)
+        codes = encode_seq(seq)
+        h, _ = mz.kmer_hashes(codes[None], k=15, xp=np)
+        keep = mz.select_minimizers(h, w=10, xp=np)
+        got = set(np.nonzero(keep[0])[0].tolist())
+        want = brute_force_winnow(h[0], 10)
+        assert got == want
+
+
+def test_sketch_density():
+    # expected winnowing density ~ 2/(w+1)
+    rng = np.random.default_rng(2)
+    seq = random_genome(rng, 20000)
+    hashes, pos, strand = mz.sketch_sequence_np(encode_seq(seq))
+    density = len(pos) / len(seq)
+    assert 0.1 < density < 0.3
+
+
+def test_index_and_read_sketches_agree():
+    """Minimizers of an exact substring must appear in the genome sketch."""
+    rng = np.random.default_rng(3)
+    genome = random_genome(rng, 5000)
+    g_hashes, g_pos, g_strand = mz.sketch_sequence_np(encode_seq(genome))
+    read = genome[1000:2000]
+    r_hashes, r_pos, r_strand = mz.sketch_sequence_np(encode_seq(read))
+    genome_set = set(g_hashes.tolist())
+    in_genome = sum(1 for h in r_hashes.tolist() if h in genome_set)
+    # interior minimizers of the read are minimizers of the genome too;
+    # only boundary-window effects may differ
+    assert in_genome / len(r_hashes) > 0.85
+
+
+def test_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    seqs = [random_genome(rng, 256) for _ in range(4)]
+    codes = np.stack([encode_seq(s) for s in seqs])
+    h_np, keep_np, s_np = mz.sketch_array(codes, xp=np)
+    h_j, keep_j, s_j = mz.sketch_array(jnp.asarray(codes), xp=jnp)
+    assert np.array_equal(h_np, np.asarray(h_j))
+    assert np.array_equal(keep_np, np.asarray(keep_j))
+    assert np.array_equal(s_np, np.asarray(s_j))
+
+
+def test_sketch_reads_jax_slots():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    seqs = [random_genome(rng, 512) for _ in range(3)]
+    codes = np.stack([encode_seq(s) for s in seqs])
+    n_slots = 32  # fewer than the expected ~90 minimizers -> subsample
+    hh, pos, ss, valid = mz.sketch_reads_jax(jnp.asarray(codes), n_slots)
+    assert hh.shape == (3, n_slots)
+    assert bool(valid.all())
+    # slots must be actual minimizers with matching hashes
+    h_np, keep_np, s_np = mz.sketch_array(codes, xp=np)
+    for b in range(3):
+        for j in range(n_slots):
+            p = int(pos[b, j])
+            assert keep_np[b, p]
+            assert h_np[b, p] == int(hh[b, j])
+    # and they are the smallest-hash subsample: max kept <= min dropped
+    for b in range(3):
+        kept = set(int(p) for p in pos[b])
+        dropped = [h_np[b, p] for p in np.nonzero(keep_np[b])[0] if int(p) not in kept]
+        assert max(int(h) for h in np.asarray(hh[b])) <= min(int(h) for h in dropped)
