@@ -42,26 +42,35 @@ class DeviceIndexShard(NamedTuple):
     """One index shard as device arrays (pytree)."""
 
     mz_hash: jnp.ndarray  # (M,) uint32 sorted
-    mz_pos: jnp.ndarray  # (M,) int32
-    mz_strand: jnp.ndarray  # (M,) bool
+    mz_posstrand: jnp.ndarray  # (M,) int32 packed (pos << 1 | strand)
+    bucket_off: jnp.ndarray  # (2^BUCKET_BITS + 1,) int32 hash directory
     pos_acc: jnp.ndarray  # (T,) int32 position -> accession id
     ref_codes: jnp.ndarray  # (T,) uint8 packed reference
 
 
-def device_shard(shard: IndexShard) -> DeviceIndexShard:
-    return DeviceIndexShard(
+def _packed_posstrand(shard: IndexShard) -> np.ndarray:
+    return (shard.mz_pos.astype(np.int32) << 1) | shard.mz_strand.astype(np.int32)
+
+
+def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
+    """Device arrays + the static binary-search depth for this table."""
+    off = lk.build_bucket_offsets(shard.mz_hash)
+    steps = lk.suggest_steps(shard.mz_hash, off)
+    dev = DeviceIndexShard(
         mz_hash=jnp.asarray(shard.mz_hash),
-        mz_pos=jnp.asarray(shard.mz_pos),
-        mz_strand=jnp.asarray(shard.mz_strand.astype(bool)),
+        mz_posstrand=jnp.asarray(_packed_posstrand(shard)),
+        bucket_off=jnp.asarray(off),
         pos_acc=jnp.asarray(shard.pos_accession_id.astype(np.int32)),
         ref_codes=jnp.asarray(shard.ref_codes),
     )
+    return dev, steps
 
 
-def stack_device_shards(shards: list[IndexShard]) -> DeviceIndexShard:
+def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int]:
     """Pad shards to common sizes and stack on a leading axis for
     sharding over the mesh ``index`` axis.  Hash padding uses
-    INVALID_HASH, which sorts to the end and never matches a query."""
+    INVALID_HASH, which sorts to the end and never matches a query.
+    Returns (stacked pytree, max binary-search depth over shards)."""
     M = max(s.n_minimizers for s in shards)
     T = max(len(s.ref_codes) for s in shards)
 
@@ -70,15 +79,23 @@ def stack_device_shards(shards: list[IndexShard]) -> DeviceIndexShard:
         out[: len(a)] = a
         return out
 
-    return DeviceIndexShard(
+    offs, steps = [], 1
+    for s in shards:
+        padded_hash = pad(s.mz_hash, M, mz.INVALID_HASH)
+        off = lk.build_bucket_offsets(padded_hash)
+        steps = max(steps, lk.suggest_steps(padded_hash, off))
+        offs.append(off)
+
+    dev = DeviceIndexShard(
         mz_hash=jnp.asarray(np.stack([pad(s.mz_hash, M, mz.INVALID_HASH) for s in shards])),
-        mz_pos=jnp.asarray(np.stack([pad(s.mz_pos, M, 0) for s in shards])),
-        mz_strand=jnp.asarray(np.stack([pad(s.mz_strand, M, 0) for s in shards]).astype(bool)),
+        mz_posstrand=jnp.asarray(np.stack([pad(_packed_posstrand(s), M, 0) for s in shards])),
+        bucket_off=jnp.asarray(np.stack(offs)),
         pos_acc=jnp.asarray(
             np.stack([pad(s.pos_accession_id.astype(np.int32), T, 0) for s in shards])
         ),
         ref_codes=jnp.asarray(np.stack([pad(s.ref_codes, T, 4) for s in shards])),
     )
+    return dev, steps
 
 
 class ClassifyParams(NamedTuple):
@@ -91,6 +108,7 @@ class ClassifyParams(NamedTuple):
     max_occ: int = 64
     mapping_quality: float = 60.0  # reference default (monica aligner.py:65)
     min_votes: int = 3  # noise floor for a callable chain
+    lookup_steps: int = 16  # binary-search depth (device_shard suggests it)
 
 
 class ShardHit(NamedTuple):
@@ -123,16 +141,16 @@ def classify_shard(
 
     key, diag, rpos, fpos = lk.lookup_anchors(
         index.mz_hash,
-        index.mz_pos,
-        index.mz_strand,
+        index.mz_posstrand,
+        index.bucket_off,
         qh,
         qp,
         qs,
         qv,
-        lengths,
         max_occ=params.max_occ,
         hits_per_seed=params.hits_per_seed,
         bucket_len=L,
+        steps=params.lookup_steps,
     )
     res = ch.chain_votes(key, diag, rpos, fpos)
     mapq = ch.mapq_from_votes(res.f1, res.f2)

@@ -129,22 +129,35 @@ def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT
     """Device-side sketch of a read batch into fixed minimizer slots.
 
     codes: (B, L) uint8.  Returns (hash, pos, strand, valid) each of
-    shape (B, n_slots).  When a read yields more than ``n_slots``
-    minimizers, the n_slots *smallest hashes* are kept — an unbiased
-    (hash-uniform) subsample across the read, unlike prefix truncation.
+    shape (B, n_slots).
+
+    Slot assignment is *positional*: the read is cut into ``n_slots``
+    equal segments and each slot takes the smallest-hash minimizer of
+    its segment (or is invalid if the segment has none).  This needs
+    only a tiny axis-reduction — no top_k / sort — and subsamples
+    uniformly across the read, which is what chaining wants.  The
+    winnowing guarantee (>=1 minimizer per w consecutive k-mers) keeps
+    segments of length >= w nearly always populated.
     """
     import jax
     import jax.numpy as jnp
 
     h, keep, s = sketch_array(codes, k, w, jnp)
-    # key: selected minimizers first (by hash asc), everything else last
+    B, m = h.shape
+    seg = -(-m // n_slots)  # segment length (ceil)
+    pad_to = seg * n_slots
+    pad = pad_to - m
+
     key = jnp.where(keep, h, jnp.uint32(INVALID_HASH))
-    # top_k picks largest, we want the *smallest* uint32 keys. Bias-flip
-    # the sign bit for an order-preserving uint32->int32 map, then
-    # bitwise-not (strictly decreasing, overflow-free) so largest==smallest key.
-    biased = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
-    _, idx = jax.lax.top_k(jnp.bitwise_not(biased), n_slots)
-    hh = jnp.take_along_axis(h, idx, axis=-1)
-    ss = jnp.take_along_axis(s, idx, axis=-1)
-    kk = jnp.take_along_axis(keep, idx, axis=-1)
-    return hh, idx.astype(jnp.int32), ss, kk
+    if pad:
+        fill = jnp.full((B, pad), INVALID_HASH, dtype=key.dtype)
+        key = jnp.concatenate([key, fill], axis=-1)
+    key3 = key.reshape(B, n_slots, seg)
+    # index of the smallest hash within each segment
+    off = jnp.argmin(key3, axis=-1).astype(jnp.int32)  # (B, n_slots)
+    hh = jnp.min(key3, axis=-1)
+    pos = off + jnp.arange(n_slots, dtype=jnp.int32)[None, :] * seg
+    valid = hh != INVALID_HASH
+    pos_c = jnp.minimum(pos, m - 1)
+    ss = jnp.take_along_axis(s, pos_c, axis=-1)
+    return hh, pos_c, ss, valid

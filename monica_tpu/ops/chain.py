@@ -33,24 +33,37 @@ class ChainResult(NamedTuple):
     rc: jnp.ndarray  # (B,) bool reverse-complement mapping
 
 
-def _row_votes(sorted_keys):
-    """votes[i] = multiplicity of sorted_keys[i]; nxt[i] = count of key+1."""
-    left = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
-    right = jnp.searchsorted(sorted_keys, sorted_keys, side="right")
-    votes = (right - left).astype(jnp.int32)
-    nl = jnp.searchsorted(sorted_keys, sorted_keys + 1, side="left")
-    nr = jnp.searchsorted(sorted_keys, sorted_keys + 1, side="right")
-    return votes, (nr - nl).astype(jnp.int32)
+def _pair_votes(skeys, max_run: int):
+    """Merged-pair voting on row-sorted keys (B, A).
+
+    merged[i] = length (capped at max_run) of the consecutive stretch
+    starting at i whose keys are in {skeys[i], skeys[i]+1} — i.e. the
+    vote count of the (bin, bin+1) locus.  Because the row is sorted,
+    the stretch is exactly run(k) followed by run(k+1).
+
+    Computed as a prefix-AND chain of shifted comparisons: pure
+    elementwise ops XLA fuses into a handful of VPU passes — no prefix
+    scans along the lane axis, no gathers.
+    """
+    B, A = skeys.shape
+    merged = jnp.ones((B, A), jnp.int32)
+    alive = jnp.ones((B, A), bool)
+    for d in range(1, min(max_run, A)):
+        nxt = jnp.concatenate(
+            [skeys[:, d:], jnp.full((B, d), jnp.iinfo(jnp.int32).max, skeys.dtype)],
+            axis=-1,
+        )
+        alive = alive & ((nxt == skeys) | (nxt == skeys + 1))
+        merged = merged + alive.astype(jnp.int32)
+    return merged
 
 
-def chain_votes(key, diag, read_pos, ref_pos) -> ChainResult:
+def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult:
     """Vote over anchor keys; all inputs (B, A) from lookup_anchors."""
     B, A = key.shape
     skeys = jnp.sort(key, axis=-1)
-    votes, nxt = jax.vmap(_row_votes)(skeys)
-
     valid = skeys != INVALID_KEY
-    merged = jnp.where(valid, votes + nxt, 0)  # pair (bin, bin+1) score
+    merged = jnp.where(valid, _pair_votes(skeys, max_run), 0)
 
     best_i = jnp.argmax(merged, axis=-1)
     f1 = jnp.take_along_axis(merged, best_i[:, None], axis=-1)[:, 0]

@@ -97,19 +97,30 @@ def test_sketch_reads_jax_slots():
     rng = np.random.default_rng(5)
     seqs = [random_genome(rng, 512) for _ in range(3)]
     codes = np.stack([encode_seq(s) for s in seqs])
-    n_slots = 32  # fewer than the expected ~90 minimizers -> subsample
+    n_slots = 64  # segment length ~ 8 kmers
     hh, pos, ss, valid = mz.sketch_reads_jax(jnp.asarray(codes), n_slots)
     assert hh.shape == (3, n_slots)
-    assert bool(valid.all())
-    # slots must be actual minimizers with matching hashes
     h_np, keep_np, s_np = mz.sketch_array(codes, xp=np)
+    m = h_np.shape[1]
+    seg = -(-m // n_slots)
+    n_valid = 0
     for b in range(3):
         for j in range(n_slots):
+            if not bool(valid[b, j]):
+                continue
+            n_valid += 1
             p = int(pos[b, j])
+            # slot holds a true minimizer of its own segment, with the
+            # segment-minimal hash
+            assert j * seg <= p < (j + 1) * seg
             assert keep_np[b, p]
-            assert h_np[b, p] == int(hh[b, j])
-    # and they are the smallest-hash subsample: max kept <= min dropped
-    for b in range(3):
-        kept = set(int(p) for p in pos[b])
-        dropped = [h_np[b, p] for p in np.nonzero(keep_np[b])[0] if int(p) not in kept]
-        assert max(int(h) for h in np.asarray(hh[b])) <= min(int(h) for h in dropped)
+            assert h_np[b, p] == int(np.asarray(hh)[b, j])
+            seg_keys = np.where(
+                keep_np[b, j * seg : (j + 1) * seg],
+                h_np[b, j * seg : (j + 1) * seg],
+                mz.INVALID_HASH,
+            )
+            assert int(np.asarray(hh)[b, j]) == int(seg_keys.min())
+            assert bool(ss[b, j]) == bool(s_np[b, p])
+    # winnowing guarantees most segments populated
+    assert n_valid > 3 * n_slots * 0.6

@@ -27,7 +27,8 @@ def small_index(tmp_path_factory):
 def _classify(built, reads, params=None, count_mode=pl.MODE_BASIC):
     params = params or pl.ClassifyParams()
     batches = bucketize_reads(reads)
-    dev = pl.device_shard(built.shards[0])
+    dev, steps = pl.device_shard(built.shards[0])
+    params = params._replace(lookup_steps=steps)
     n_acc = built.meta.n_accessions
     statuses = np.zeros(len(reads), np.int32)
     accs = np.zeros(len(reads), np.int32)
@@ -123,7 +124,7 @@ def test_multi_shard_merge_matches_single(small_index):
         for b in batches:
             hits = []
             for sh in built2.shards:
-                dev = pl.device_shard(sh)
+                dev, _s = pl.device_shard(sh)
                 hits.append(
                     pl.classify_shard(dev, jnp.asarray(b.codes), jnp.asarray(b.lengths), params)
                 )
