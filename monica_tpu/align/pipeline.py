@@ -24,6 +24,7 @@ from monica_tpu.index.build import BuiltIndex, IndexShard
 from monica_tpu.index import minimizer as mz
 from monica_tpu.ops import lookup as lk
 from monica_tpu.ops import chain as ch
+from monica_tpu.ops import extend as ex
 
 # read status codes (host routing: mapped/unmapped/ambiguous folders,
 # reference aligner.py:209-211,232,243,265)
@@ -109,6 +110,12 @@ class ClassifyParams(NamedTuple):
     mapping_quality: float = 60.0  # reference default (monica aligner.py:65)
     min_votes: int = 3  # noise floor for a callable chain
     lookup_steps: int = 16  # binary-search depth (device_shard suggests it)
+    # banded Smith–Waterman extension (ops.extend): refines the
+    # anchor-count identity into an alignment NM/mlen.  Off by default
+    # for the pure seed-and-vote fast path; the CLI enables it.
+    extend: bool = False
+    band: int = 128  # band width (lanes; multiple of 128 on TPU)
+    extend_impl: str = "auto"  # "pallas" | "jnp" | "auto"
 
 
 class ShardHit(NamedTuple):
@@ -164,6 +171,24 @@ def classify_shard(
     lf = lengths.astype(jnp.float32)
     mlen = jnp.maximum(identity * lf, 1.0)
     inv_identity = (1.0 - identity) / jnp.maximum(identity, 1e-6)
+
+    if params.extend:
+        # banded SW at the chained locus: replaces the statistical
+        # identity with an alignment-based NM/mlen (the hit.NM/hit.mlen
+        # the reference reads off mappy, aligner.py:195)
+        ext = ex.extend_hits(
+            index.ref_codes,
+            codes,
+            lengths,
+            res.rep_ref_pos,
+            res.rep_read_pos,
+            res.rc,
+            k=params.k,
+            p=ex.ExtendParams(band=params.band),
+            impl=params.extend_impl,
+        )
+        mlen = ext.mlen.astype(jnp.float32)
+        inv_identity = ext.inv_identity
 
     acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
     passed = (
@@ -259,6 +284,27 @@ def count_reads(
         num_segments=n_accessions + 1,
     )
     return counts[:n_accessions]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_accessions", "count_mode"))
+def classify_batch_stacked(
+    stacked_index: DeviceIndexShard,  # leaves with leading (S,) shard axis
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    params: ClassifyParams,
+    n_accessions: int,
+    count_mode: int = MODE_QUERY_LENGTH,
+):
+    """Single-device multi-shard step: sequentially score every index
+    shard (lax.map keeps it one dispatch), then merge — the on-device
+    analog of the reference's loop over index chunks + hits.pkl merge
+    (`aligner.py:91-103,219-231`)."""
+    hits = jax.lax.map(
+        lambda ix: classify_shard(ix, codes, lengths, params), stacked_index
+    )
+    result = merge_hits(hits)
+    counts = count_reads(result, lengths, n_accessions, count_mode)
+    return result, counts
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_accessions", "count_mode"))

@@ -1,0 +1,329 @@
+"""Banded Smith–Waterman extension (the minimap2 alignment-extension
+analog) — jnp reference implementation + Pallas TPU kernel.
+
+The reference consumes mappy's per-hit ``NM``/``mlen`` (edit distance /
+matched bases, `monica/genomes/aligner.py:193-195`) produced by
+minimap2's banded extension in C.  Here extension is a first-party
+kernel re-designed for the TPU VPU:
+
+* the band (width ``W``, a multiple of 128) lives across the *lane*
+  axis, a tile of reads across the *sublane* axis;
+* DP runs row-per-read-base in shifted-band coordinates, where the
+  band window over the reference advances one base per row — the
+  wavefront parallelism SURVEY.md §5 calls for, without anti-diagonal
+  index gymnastics;
+* the in-row horizontal dependency ``H[i][d-1] - G`` is resolved
+  EXACTLY for linear gap cost by a prefix-max scan:
+      H[i][d] = max_{k<=d} (T[i][k] - (d-k)·G)
+              = prefixmax_d(T[i][k] + k·G) - d·G
+  computed in log2(W) shifted-max passes — pure elementwise VPU ops,
+  no sequential lane chain;
+* matches along the optimal path are tracked as a paired value through
+  every max, giving an ``mlen`` analog and, with the score, an ``NM``
+  estimate:  S = MA·mlen - MM·mismatch - G·gaps  =>
+  NM ~ (MA·mlen - S) / min(MM, G)  (lower bound; calibrated constants).
+
+Scoring defaults follow map-ont's spirit (match 2, mismatch 4, linear
+gap 4 approximating open 4/extend 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 20)  # -inf for int32 DP without overflow
+
+
+class ExtendParams(NamedTuple):
+    band: int = 128  # band width (lanes); multiple of 128 on TPU
+    match: int = 2
+    mismatch: int = 4  # positive penalty
+    gap: int = 4  # positive linear gap penalty
+
+
+# ---------------------------------------------------------------------------
+# band setup: orient reads, extract reference windows
+# ---------------------------------------------------------------------------
+
+def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray, rc: jnp.ndarray):
+    """Reverse-complement the rows where ``rc`` is True (in-band the
+    read is always aligned forward against the reference window).
+
+    codes (B, L) uint8, lengths (B,), rc (B,) bool -> (B, L) uint8 with
+    PAD (4) beyond each read's true length.
+    """
+    B, L = codes.shape
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = jnp.where(rc[:, None], lengths[:, None] - 1 - i, i)
+    c = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
+    c = jnp.where(rc[:, None] & (c < 4), 3 - c, c)
+    return jnp.where(i < lengths[:, None], c, jnp.uint8(4)).astype(jnp.uint8)
+
+
+def extension_diag(rep_ref_pos, rep_read_pos, rc, lengths, k: int):
+    """Expected ref position of (oriented) read base 0.
+
+    Forward anchors store diag = ref_pos - read_pos; rc anchors map the
+    read's reverse complement, whose anchor sits at oriented read
+    position ``len - read_pos - k``.
+    """
+    fwd = rep_ref_pos - rep_read_pos
+    rcd = rep_ref_pos - (lengths - rep_read_pos - k)
+    return jnp.where(rc, rcd, fwd)
+
+
+def extract_ref_windows(ref_codes: jnp.ndarray, diag: jnp.ndarray, L: int, band: int):
+    """Per-read reference window refwin[p] = ref[diag - band//2 + p],
+    p in [0, L + band): row i of the DP reads refwin[i : i + band].
+
+    One sliced gather (an L+band contiguous slice per read); starts are
+    clipped to the table, which only distorts anchors within ``band`` of
+    the packed-reference ends (records are separated by N guards).
+    """
+    T = ref_codes.shape[0]
+    start = jnp.clip(diag - band // 2, 0, max(T - (L + band), 0))
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        ref_codes,
+        start[:, None],
+        dnums,
+        slice_sizes=(L + band,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared row-update math (used by both the jnp and Pallas versions)
+# ---------------------------------------------------------------------------
+
+def _prefix_max_pair(u, m, width: int):
+    """Inclusive prefix max along the last axis, carrying ``m`` with the
+    argmax.  log2(width) shifted passes of elementwise select."""
+    s = 1
+    while s < width:
+        pu = jnp.concatenate([jnp.full_like(u[..., :s], NEG), u[..., :-s]], axis=-1)
+        pm = jnp.concatenate([jnp.zeros_like(m[..., :s]), m[..., :-s]], axis=-1)
+        take = pu > u
+        u = jnp.where(take, pu, u)
+        m = jnp.where(take, pm, m)
+        s *= 2
+    return u, m
+
+
+def _row_update(h, m, qcol, rrow, lane_g, p: ExtendParams):
+    """One DP row. h/m: (B, W) int32 state; qcol: (B, 1) read base;
+    rrow: (B, W) ref bases; lane_g: (W,) = arange(W)·gap."""
+    is_match = (qcol == rrow) & (qcol < 4)
+    sub = jnp.where(is_match, p.match, -p.mismatch)
+    cand_d = h + sub
+    md = m + is_match.astype(jnp.int32)
+    floor = jnp.full_like(h[..., :1], NEG)
+    cand_u = jnp.concatenate([h[..., 1:], floor], axis=-1) - p.gap
+    mu = jnp.concatenate([m[..., 1:], jnp.zeros_like(m[..., :1])], axis=-1)
+    up = cand_u > cand_d
+    t = jnp.where(up, cand_u, cand_d)
+    mt = jnp.where(up, mu, md)
+    # local alignment floor: restart at 0 with no matches
+    zero = t < 0
+    t = jnp.where(zero, 0, t)
+    mt = jnp.where(zero, 0, mt)
+    # horizontal term via prefix max (exact for linear gap)
+    u, mh = _prefix_max_pair(t + lane_g, mt, t.shape[-1])
+    hz = u - lane_g
+    hor = hz > t
+    h_new = jnp.where(hor, hz, t)
+    m_new = jnp.where(hor, mh, mt)
+    return h_new, m_new
+
+
+# ---------------------------------------------------------------------------
+# jnp implementation (CPU tests / oracle / non-Pallas fallback)
+# ---------------------------------------------------------------------------
+
+def banded_sw_jnp(q, refwin, lengths, p: ExtendParams):
+    """q (B, L) uint8 oriented reads; refwin (B, L+W) uint8;
+    lengths (B,) int32.  Returns (best_score, best_matches) int32 (B,)."""
+    B, L = q.shape
+    W = p.band
+    lane_g = jnp.arange(W, dtype=jnp.int32) * p.gap
+
+    def body(i, carry):
+        h, m, best, bm = carry
+        qcol = jax.lax.dynamic_slice(q, (0, i), (B, 1)).astype(jnp.int32)
+        rrow = jax.lax.dynamic_slice(refwin, (0, i), (B, W)).astype(jnp.int32)
+        h, m = _row_update(h, m, qcol, rrow, lane_g, p)
+        active = i < lengths
+        rb = jnp.max(h, axis=-1)
+        rm = jnp.max(jnp.where(h == rb[:, None], m, 0), axis=-1)
+        better = active & (rb > best)
+        return (
+            h,
+            m,
+            jnp.where(better, rb, best),
+            jnp.where(better, rm, bm),
+        )
+
+    z = jnp.zeros((B, W), jnp.int32)
+    zb = jnp.zeros((B,), jnp.int32)
+    _, _, best, bm = jax.lax.fori_loop(0, L, body, (z, z, zb, zb))
+    return best, bm
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+ROWS = 128  # rows (read bases) per grid step; also the lane alignment unit
+
+
+def _sw_kernel(q_ref, r_ref, len_ref, out_ref, h_ref, m_ref, best_ref,
+               p: ExtendParams, n_blocks: int):
+    """One grid step = ROWS DP rows for one read tile.
+
+    Mosaic only allows lane-dim loads at 128-multiples, so all VMEM
+    blocks arrive grid-aligned via BlockSpec; the per-row q column and
+    W-wide ref window are extracted from the loaded block with a
+    dynamic-shift ``pltpu.roll`` (tpu.dynamic_rotate) — the loop body
+    is traced once, keeping the MLIR small.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BT, W = h_ref.shape
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        h_ref[...] = jnp.zeros((BT, W), jnp.int32)
+        m_ref[...] = jnp.zeros((BT, W), jnp.int32)
+        best_ref[...] = jnp.zeros((BT, 2), jnp.int32)
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) * p.gap
+    lengths = len_ref[...]  # (BT, 1)
+    # int32 up-front: tpu.dynamic_rotate has no i8 lowering
+    qblk = q_ref[...].astype(jnp.int32)  # (BT, ROWS)
+    rbuf = r_ref[...].astype(jnp.int32)  # (BT, W + ROWS)
+    row0 = l * ROWS
+
+    def body(j, _):
+        qcol = pltpu.roll(qblk, -j, 1)[:, :1]
+        rrow = pltpu.roll(rbuf, -j, 1)[:, :W]
+        h, m = _row_update(h_ref[...], m_ref[...], qcol, rrow, lane_g, p)
+        h_ref[...] = h
+        m_ref[...] = m
+        active = (row0 + j) < lengths  # (BT, 1)
+        rb = jnp.max(h, axis=-1, keepdims=True)
+        rm = jnp.max(jnp.where(h == rb, m, 0), axis=-1, keepdims=True)
+        better = active & (rb > best_ref[:, :1])
+        best_ref[...] = jnp.where(
+            better, jnp.concatenate([rb, rm], axis=1), best_ref[...]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, body, 0)
+
+    @pl.when(l == n_blocks - 1)
+    def _():
+        out_ref[...] = best_ref[...]
+
+
+def _tile_ref_windows(refwin, n_blocks: int, W: int):
+    """(B, L+W) -> (B, n_blocks*(W+ROWS)) overlapping row-block tiles,
+    flattened 2-D so each (BT, W+ROWS) kernel block is tile-aligned
+    (tile l covers DP rows l*ROWS .. l*ROWS+127)."""
+    return jnp.concatenate(
+        [refwin[:, i * ROWS : i * ROWS + W + ROWS] for i in range(n_blocks)], axis=1
+    )
+
+
+def banded_sw_pallas(q, refwin, lengths, p: ExtendParams, block_reads: int = 32,
+                     interpret: bool | None = None):
+    """Pallas banded SW: grid (read tiles, row blocks); q/ref stay uint8
+    in VMEM; DP state is int32 (BT, W) scratch persisted across the
+    sequential row-block grid dimension."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = q.shape
+    W = p.band
+    BT = min(block_reads, B)
+    padB = -(-B // BT) * BT
+    padL = -(-L // ROWS) * ROWS
+    if padB != B or padL != L:
+        q = jnp.pad(q, ((0, padB - B), (0, padL - L)), constant_values=4)
+        refwin = jnp.pad(
+            refwin, ((0, padB - B), (0, (padL + W) - refwin.shape[1])),
+            constant_values=4,
+        )
+        lengths = jnp.pad(lengths, (0, padB - B))
+    Bp, Lp = q.shape
+    NB = Lp // ROWS
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rtiles = _tile_ref_windows(refwin, NB, W)
+    out = pl.pallas_call(
+        functools.partial(_sw_kernel, p=p, n_blocks=NB),
+        grid=(Bp // BT, NB),
+        in_specs=[
+            pl.BlockSpec((BT, ROWS), lambda b, l: (b, l)),
+            pl.BlockSpec((BT, W + ROWS), lambda b, l: (b, l)),
+            pl.BlockSpec((BT, 1), lambda b, l: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((BT, 2), lambda b, l: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, 2), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, 2), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * Bp * Lp * W, bytes_accessed=Bp * (2 * Lp + W), transcendentals=0
+        ),
+        interpret=interpret,
+    )(q, rtiles, lengths.reshape(Bp, 1).astype(jnp.int32))
+    return out[:B, 0], out[:B, 1]
+
+
+def banded_sw(q, refwin, lengths, p: ExtendParams, impl: str = "auto"):
+    """Dispatch: Pallas on TPU, jnp elsewhere (same math)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        return banded_sw_pallas(q, refwin, lengths, p)
+    return banded_sw_jnp(q, refwin, lengths, p)
+
+
+# ---------------------------------------------------------------------------
+# hit refinement (pipeline hook)
+# ---------------------------------------------------------------------------
+
+class Extension(NamedTuple):
+    score: jnp.ndarray  # (B,) int32 best local score
+    mlen: jnp.ndarray  # (B,) int32 matched bases on the optimal path
+    nm: jnp.ndarray  # (B,) int32 edit-distance estimate
+    inv_identity: jnp.ndarray  # (B,) f32 NM/mlen
+
+
+def extend_hits(ref_codes, codes, lengths, rep_ref_pos, rep_read_pos, rc,
+                k: int, p: ExtendParams, impl: str = "auto") -> Extension:
+    """Banded extension of each read at its chained locus — refines the
+    anchor-count identity estimate into an alignment-based NM/mlen
+    (`monica/genomes/aligner.py:195`'s hit.NM / hit.mlen analog)."""
+    B, L = codes.shape
+    oriented = orient_reads(codes, lengths, rc)
+    diag = extension_diag(rep_ref_pos, rep_read_pos, rc, lengths, k)
+    refwin = extract_ref_windows(ref_codes, diag, L, p.band)
+    score, mlen = banded_sw(oriented, refwin, lengths, p, impl=impl)
+    # S = MA·mlen − MM·X − G·gaps ⇒ X + gaps ≥ (MA·mlen − S)/max(MM,G)
+    denom = max(min(p.mismatch, p.gap), 1)
+    nm = jnp.maximum((p.match * mlen - score) // denom, 0)
+    inv_identity = nm.astype(jnp.float32) / jnp.maximum(mlen, 1).astype(jnp.float32)
+    return Extension(score=score, mlen=mlen, nm=nm, inv_identity=inv_identity)
