@@ -157,6 +157,86 @@ class SampleReport:
     seconds: float = 0.0
 
 
+# ---------------------------------------------------------------------------
+# sample adapters: native (C span-indexed buffer) and pure-Python
+# ---------------------------------------------------------------------------
+
+class _NativeSample:
+    """Reads come from a span-indexed raw buffer (monica_tpu.io.native):
+    encoding fills code matrices in C, routing writes raw record byte
+    slices (id swapped in-place for the mapped route)."""
+
+    def __init__(self, view):
+        self.view = view
+        self.binary = True
+
+    def __len__(self):
+        return len(self.view)
+
+    def batches(self, buckets, max_batch):
+        lengths = self.view.lengths.astype(np.int64)
+        order = np.argsort(
+            np.searchsorted(np.asarray(buckets), np.minimum(lengths, buckets[-1])),
+            kind="stable",
+        )
+        batches = []
+        i = 0
+        while i < len(order):
+            blen = int(enc.bucket_for_length(int(lengths[order[i]]), buckets))
+            j = i
+            while (
+                j < len(order)
+                and j - i < max_batch
+                and enc.bucket_for_length(int(lengths[order[j]]), buckets) == blen
+            ):
+                j += 1
+            idx = order[i:j]
+            codes = np.full((len(idx), blen), enc.PAD_CODE, dtype=np.uint8)
+            self.view.encode_rows(idx, codes)
+            batches.append(
+                enc.ReadBatch(
+                    codes,
+                    np.minimum(lengths[idx], blen).astype(np.int32),
+                    idx.astype(np.int32),
+                )
+            )
+            i = j
+        return batches
+
+    def write(self, fh, i: int, new_id: str | None = None):
+        if new_id is None:
+            fh.write(self.view.record_bytes(i))
+        else:
+            fh.write(self.view.record_with_id(i, new_id.encode()))
+
+
+class _PySample:
+    """Fallback on the dependency-free Python parser."""
+
+    def __init__(self, records):
+        self.records = records
+        self.binary = False
+
+    def __len__(self):
+        return len(self.records)
+
+    def batches(self, buckets, max_batch):
+        return enc.bucketize_reads([r.seq for r in self.records], buckets, max_batch)
+
+    def write(self, fh, i: int, new_id: str | None = None):
+        seqio.write_fastq_record(fh, self.records[i], new_id=new_id)
+
+
+def _load_sample(sample_path) -> "_NativeSample | _PySample":
+    from monica_tpu.io import native
+
+    if native.available():
+        view = native.parse_fastq_file(sample_path)
+        if view is not None:
+            return _NativeSample(view)
+    return _PySample(list(seqio.read_fastq(sample_path)))
+
+
 def process_sample(
     classifier: Classifier,
     sample_path: str | os.PathLike,
@@ -182,14 +262,14 @@ def process_sample(
     rep = SampleReport(sample=name)
 
     with metrics.stage(f"parse:{name}"):
-        records = list(seqio.read_fastq(sample_path))
-    rep.n_reads = len(records)
-    if not records:
+        sample = _load_sample(sample_path)
+    rep.n_reads = len(sample)
+    if not len(sample):
         if delete:
             sample_path.unlink(missing_ok=True)
         return rep
 
-    batches = enc.bucketize_reads([r.seq for r in records], buckets, max_batch)
+    batches = sample.batches(buckets, max_batch)
     mult = classifier.batch_row_multiple()
     batches = [enc.pad_rows(b, mult) for b in batches]
 
@@ -197,11 +277,11 @@ def process_sample(
     # host encode of batch i+1 overlaps device compute of batch i.
     pending = [(b, classifier.classify(b.codes, b.lengths)) for b in batches]
 
-    status = np.zeros(len(records), np.int32)
-    acc = np.full(len(records), -1, np.int32)
+    status = np.zeros(len(sample), np.int32)
+    acc = np.full(len(sample), -1, np.int32)
     counts = np.zeros(classifier.meta.n_accessions, np.int64)
     n_bases = 0
-    with metrics.stage(f"classify:{name}", items=len(records)):
+    with metrics.stage(f"classify:{name}", items=len(sample)):
         for b, (res, c) in pending:
             keep = b.idx >= 0
             status[b.idx[keep]] = np.asarray(res.status)[keep]
@@ -213,28 +293,31 @@ def process_sample(
     state.update(name, counts)
 
     tax_units = classifier.meta.tax_units
-    with metrics.stage(f"route:{name}", items=len(records)):
-        focus_fh = open(folders.focus / sample_path.name, "a") if folders.focus else None
-        with open(folders.mapped / sample_path.name, "a") as mapped, open(
-            folders.unmapped / sample_path.name, "a"
-        ) as unmapped, open(folders.ambiguous / sample_path.name, "a") as ambiguous:
-            for i, rec in enumerate(records):
+    wmode = "ab" if sample.binary else "a"
+    with metrics.stage(f"route:{name}", items=len(sample)):
+        focus_fh = (
+            open(folders.focus / sample_path.name, wmode) if folders.focus else None
+        )
+        with open(folders.mapped / sample_path.name, wmode) as mapped, open(
+            folders.unmapped / sample_path.name, wmode
+        ) as unmapped, open(folders.ambiguous / sample_path.name, wmode) as ambiguous:
+            for i in range(len(sample)):
                 st = status[i]
                 if st == pl.MAPPED:
                     tax = tax_units[acc[i]]
                     if focus_fh is not None and tax in focus_taxa:
-                        seqio.write_fastq_record(focus_fh, rec)
+                        sample.write(focus_fh, i)
                         rep.n_focus += 1
                     if overnight:
                         # genus collapse (reference aligner.py:237-239)
                         tax = tax.split("_")[0]
-                    seqio.write_fastq_record(mapped, rec, new_id=tax)
+                    sample.write(mapped, i, new_id=tax)
                     rep.n_mapped += 1
                 elif st == pl.AMBIGUOUS:
-                    seqio.write_fastq_record(ambiguous, rec)
+                    sample.write(ambiguous, i)
                     rep.n_ambiguous += 1
                 else:
-                    seqio.write_fastq_record(unmapped, rec)
+                    sample.write(unmapped, i)
                     rep.n_unmapped += 1
         if focus_fh is not None:
             focus_fh.close()

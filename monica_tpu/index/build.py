@@ -234,6 +234,56 @@ def build_index(
     return BuiltIndex(meta=meta, shards=shards)
 
 
+def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:
+    """Combine independently built/cached index groups (guests, hosts)
+    into one searchable index, re-basing accession ids per part.
+
+    The reference reaches the same effect by aligning every read
+    against the union of G_/H_ index chunk files (`monica/monica.py:
+    226-420` collects indexes_paths across groups); here groups stay
+    separately cached artifacts and merge structurally at load time.
+    """
+    parts = [p for p in parts if p is not None]
+    if len(parts) == 1:
+        return parts[0]
+    k, w = parts[0].meta.k, parts[0].meta.w
+    for p in parts:
+        if (p.meta.k, p.meta.w) != (k, w):
+            raise ValueError("cannot merge indexes with different k/w")
+    tax_units, accessions, lengths, shards = [], [], [], []
+    base = 0
+    for p in parts:
+        tax_units += p.meta.tax_units
+        accessions += p.meta.accessions
+        lengths.append(p.meta.genome_lengths)
+        for sh in p.shards:
+            if base + p.meta.n_accessions > np.iinfo(np.uint16).max:
+                raise ValueError("merged index exceeds 65535 accessions")
+            shards.append(
+                IndexShard(
+                    ref_codes=sh.ref_codes,
+                    seq_starts=sh.seq_starts,
+                    seq_lengths=sh.seq_lengths,
+                    seq_accession_id=sh.seq_accession_id + base,
+                    mz_hash=sh.mz_hash,
+                    mz_pos=sh.mz_pos,
+                    mz_strand=sh.mz_strand,
+                    pos_accession_id=(sh.pos_accession_id.astype(np.int32) + base).astype(
+                        np.uint16
+                    ),
+                )
+            )
+        base += p.meta.n_accessions
+    meta = IndexMeta(
+        tax_units=tax_units,
+        accessions=accessions,
+        genome_lengths=np.concatenate(lengths) if lengths else np.zeros(0, np.int64),
+        k=k,
+        w=w,
+    )
+    return BuiltIndex(meta=meta, shards=shards)
+
+
 def content_key(genomes: list[tuple[str, list[str]]], k: int, w: int, n_shards: int) -> str:
     """Content-addressed artifact key (replaces the reference's
     config-encoded folder names, `monica/monica.py:244-245`)."""

@@ -1,0 +1,174 @@
+"""ctypes loader + build-on-demand for the native ingest library.
+
+The shared library is compiled once per machine from fastq.cpp into
+``<package>/_libmonica_io.so`` (or $MONICA_TPU_CACHE); if no compiler
+is available every caller falls back to the pure-Python parsers in
+:mod:`monica_tpu.io.seq` — the native path is an accelerator, never a
+requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "fastq.cpp"
+_LIB_NAME = "_libmonica_io.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _lib_path() -> Path:
+    cache = os.environ.get("MONICA_TPU_CACHE")
+    return (Path(cache) if cache else _HERE) / _LIB_NAME
+
+
+def _build(dest: Path) -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(dest),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """The loaded library, building it if needed; None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        dest = _lib_path()
+        if not dest.exists() or dest.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build(dest):
+                return None
+        try:
+            lib = ctypes.CDLL(str(dest))
+        except OSError:
+            return None
+        lib.fastq_index.restype = ctypes.c_int64
+        lib.fastq_count.restype = ctypes.c_int64
+        lib.encode_rows.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+class FastqView:
+    """Zero-copy view over one parsed FASTQ buffer.
+
+    Holds the raw bytes plus per-record spans; routing writes raw
+    record slices back out without re-serialization, and encoding
+    fills padded code matrices directly in C.
+    """
+
+    def __init__(self, buf: bytes, rec_off, rec_len, id_off, id_len, seq_off, seq_len):
+        self.buf = buf
+        self.rec_off = rec_off
+        self.rec_len = rec_len
+        self.id_off = id_off
+        self.id_len = id_len
+        self.seq_off = seq_off
+        self.seq_len = seq_len
+
+    def __len__(self):
+        return len(self.rec_off)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self.seq_len
+
+    def record_bytes(self, i: int) -> bytes:
+        o = self.rec_off[i]
+        return self.buf[o : o + self.rec_len[i]]
+
+    def read_id(self, i: int) -> bytes:
+        o = self.id_off[i]
+        return self.buf[o : o + self.id_len[i]]
+
+    def record_with_id(self, i: int, new_id: bytes) -> bytes:
+        """Record bytes with the id replaced (tax-unit rewrite on the
+        mapped route, reference aligner.py:242)."""
+        rec = self.record_bytes(i)
+        rel = self.id_off[i] - self.rec_off[i]
+        return rec[: rel] + new_id + rec[rel + self.id_len[i]:]
+
+    def encode_rows(self, indices: np.ndarray, out: np.ndarray) -> None:
+        """Fill out[k, :] from read indices[k]; out must be uint8,
+        C-contiguous, pre-filled with PAD."""
+        lib = load()
+        assert lib is not None
+        n = len(indices)
+        if n == 0:
+            return
+        sel = np.ascontiguousarray(indices, dtype=np.int64)
+        so = np.ascontiguousarray(self.seq_off[sel])
+        sl = np.ascontiguousarray(self.seq_len[sel])
+        rows = np.arange(n, dtype=np.int64)
+        lib.encode_rows(
+            self.buf,
+            so.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(out.strides[0]),
+            ctypes.c_int32(out.shape[1]),
+        )
+
+
+def parse_fastq_bytes(buf: bytes) -> FastqView | None:
+    """Index a FASTQ buffer natively; None if the library is missing."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(buf)
+    count = lib.fastq_count(buf, ctypes.c_int64(n))
+    if count < 0:
+        raise ValueError(f"malformed FASTQ at byte {-(count + 1)}")
+    count = int(count)
+    rec_off = np.empty(count, np.int64)
+    rec_len = np.empty(count, np.int64)
+    id_off = np.empty(count, np.int64)
+    id_len = np.empty(count, np.int32)
+    seq_off = np.empty(count, np.int64)
+    seq_len = np.empty(count, np.int32)
+    got = lib.fastq_index(
+        buf, ctypes.c_int64(n), ctypes.c_int64(count),
+        rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        id_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got < 0:
+        raise ValueError(f"malformed FASTQ at byte {-(got + 1)}")
+    return FastqView(buf, rec_off, rec_len, id_off, id_len, seq_off, seq_len)
+
+
+def parse_fastq_file(path) -> FastqView | None:
+    import gzip
+
+    path = str(path)
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            buf = fh.read()
+    else:
+        with open(path, "rb") as fh:
+            buf = fh.read()
+    return parse_fastq_bytes(buf)
