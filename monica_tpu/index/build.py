@@ -234,6 +234,61 @@ def build_index(
     return BuiltIndex(meta=meta, shards=shards)
 
 
+def build_index_from_arrays(
+    seqs: list[np.ndarray],
+    tax_units: list[str] | None = None,
+    accessions: list[str] | None = None,
+    n_shards: int = 1,
+    max_shard_bytes: int | None = None,
+    k: int = mz.K_DEFAULT,
+    w: int = mz.W_DEFAULT,
+    guard: int = 32,
+) -> BuiltIndex:
+    """Build an index directly from uint8 code arrays (one per genome) —
+    the in-memory path used by benchmarks, the evaluation harness, and
+    the driver entry (no FASTA round-trip)."""
+    n = len(seqs)
+    tax_units = tax_units or [f"Species_{i}" for i in range(n)]
+    accessions = accessions or [f"ACC{i:04d}.1" for i in range(n)]
+    genome_lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    assignment = split_genomes(
+        [len(s) for s in seqs],
+        n_shards=n_shards if max_shard_bytes is None else None,
+        max_shard_bytes=max_shard_bytes,
+    )
+    shards = []
+    for members in assignment:
+        builder = enc.PackedSeqsBuilder(guard=guard)
+        for gi in members:
+            builder.add(np.asarray(seqs[gi], dtype=np.uint8), gi)
+        packed = builder.build()
+        h, pos, strand = sketch_long_sequence(packed.codes, k, w)
+        order = np.argsort(h, kind="stable")
+        pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
+        for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
+            pos_acc[s0 : s0 + ln] = aid
+        shards.append(
+            IndexShard(
+                ref_codes=packed.codes,
+                seq_starts=packed.starts,
+                seq_lengths=packed.lengths,
+                seq_accession_id=packed.seq_accession_id,
+                mz_hash=h[order],
+                mz_pos=pos[order].astype(np.int32),
+                mz_strand=strand[order],
+                pos_accession_id=pos_acc,
+            )
+        )
+    meta = IndexMeta(
+        tax_units=tax_units,
+        accessions=accessions,
+        genome_lengths=genome_lengths,
+        k=k,
+        w=w,
+    )
+    return BuiltIndex(meta=meta, shards=shards)
+
+
 def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:
     """Combine independently built/cached index groups (guests, hosts)
     into one searchable index, re-basing accession ids per part.

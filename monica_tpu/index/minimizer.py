@@ -28,8 +28,23 @@ import numpy as np
 # map-ont preset parameters (minimap2 defaults the reference relies on).
 K_DEFAULT = 15
 W_DEFAULT = 10
+# scaled-winnowing fraction: keep only minimizers with hash below
+# frac * 2^32 (fmix32 output is uniform, so this subsamples the
+# winnowing set uniformly ON BOTH SIDES — index and query — preserving
+# matches at density frac).  1.0 = classic winnowing (map-ont parity).
+# The default is set from the accuracy harness (scripts/concordance.py):
+# classification concordance is insensitive to 4x subsampling while
+# lookup cost (the pipeline bottleneck: HBM gathers) scales ~linearly
+# with seed count and table size.
+FRAC_DEFAULT = 1.0
 
 INVALID_HASH = np.uint32(0xFFFFFFFF)
+
+
+def frac_threshold(frac: float) -> np.uint32:
+    """Largest hash kept under scaled winnowing (inclusive)."""
+    t = int(frac * 4294967296.0)
+    return np.uint32(min(max(t, 1), 0xFFFFFFFE))
 
 
 def _u32(xp, v):
@@ -96,8 +111,11 @@ def kmer_hashes(codes, k: int = K_DEFAULT, xp=np):
     return h, strand
 
 
-def select_minimizers(hashes, w: int = W_DEFAULT, xp=np):
-    """Winnowing selection mask over k-mer hash arrays (..., m)."""
+def select_minimizers(hashes, w: int = W_DEFAULT, xp=np, frac: float = FRAC_DEFAULT):
+    """Winnowing selection mask over k-mer hash arrays (..., m).
+
+    ``frac < 1`` applies scaled winnowing: only minimizers with
+    hash <= frac * 2^32 are kept (must match the index's frac)."""
     fill_min = xp.uint32(INVALID_HASH)
     mins = _windowed(xp, hashes, w, fill_min, xp.minimum)  # m[j]
     # max over the w windows *ending* at p == shifted-right window on mins.
@@ -108,24 +126,29 @@ def select_minimizers(hashes, w: int = W_DEFAULT, xp=np):
     keep = (maxs == hashes) & (hashes != INVALID_HASH)
     # positions past the last full window start still participate via
     # earlier windows covering them, which the max pass already handles.
+    if frac < 1.0:
+        keep = keep & (hashes <= frac_threshold(frac))
     return keep
 
 
-def sketch_array(codes, k: int = K_DEFAULT, w: int = W_DEFAULT, xp=np):
+def sketch_array(codes, k: int = K_DEFAULT, w: int = W_DEFAULT, xp=np,
+                 frac: float = FRAC_DEFAULT):
     """hashes, keep-mask and strands for a batch of code arrays."""
     h, s = kmer_hashes(codes, k, xp)
-    keep = select_minimizers(h, w, xp)
+    keep = select_minimizers(h, w, xp, frac=frac)
     return h, keep, s
 
 
-def sketch_sequence_np(codes: np.ndarray, k: int = K_DEFAULT, w: int = W_DEFAULT):
+def sketch_sequence_np(codes: np.ndarray, k: int = K_DEFAULT, w: int = W_DEFAULT,
+                       frac: float = FRAC_DEFAULT):
     """Host-side sketch of one long sequence -> (hash, pos, strand) arrays."""
-    h, keep, s = sketch_array(codes[None, :], k, w, np)
+    h, keep, s = sketch_array(codes[None, :], k, w, np, frac=frac)
     pos = np.nonzero(keep[0])[0].astype(np.int64)
     return h[0][pos].astype(np.uint32), pos, s[0][pos]
 
 
-def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT):
+def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT,
+                     frac: float = FRAC_DEFAULT):
     """Device-side sketch of a read batch into fixed minimizer slots.
 
     codes: (B, L) uint8.  Returns (hash, pos, strand, valid) each of
@@ -142,7 +165,7 @@ def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT
     import jax
     import jax.numpy as jnp
 
-    h, keep, s = sketch_array(codes, k, w, jnp)
+    h, keep, s = sketch_array(codes, k, w, jnp, frac=frac)
     B, m = h.shape
     seg = -(-m // n_slots)  # segment length (ceil)
     pad_to = seg * n_slots

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Accuracy harness driver: classification accuracy vs ground truth
+over error rates / read lengths / pipeline settings.
+
+The BASELINE.md concordance target (>=95% read-assignment concordance)
+is measured here as ground-truth assignment accuracy on a mock
+community with conserved shared blocks (see monica_tpu/evaluation.py).
+
+Usage: python scripts/concordance.py [--quick] [--sweep]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes (CPU-friendly)")
+    ap.add_argument("--sweep", action="store_true", help="sweep pipeline knobs")
+    ap.add_argument("--n_genomes", type=int, default=8)
+    ap.add_argument("--glen", type=int, default=500_000)
+    ap.add_argument("--n_reads", type=int, default=1024)
+    args = ap.parse_args()
+
+    from monica_tpu import evaluation as ev
+    from monica_tpu.align import pipeline as pl
+    from monica_tpu.index.build import build_index_from_arrays
+
+    if args.quick:
+        args.n_genomes, args.glen, args.n_reads = 4, 60_000, 192
+
+    rng = np.random.default_rng(11)
+    seqs = ev.mock_community(rng, args.n_genomes, args.glen)
+    built = build_index_from_arrays(seqs)
+
+    # nanopore-like error profiles: (sub, ins, del) roughly R9 -> R10.4
+    profiles = [
+        ("r10_sup", (0.01, 0.005, 0.005)),
+        ("r10_fast", (0.03, 0.02, 0.02)),
+        ("r9_hac", (0.05, 0.03, 0.03)),
+        ("r9_old", (0.08, 0.05, 0.05)),
+    ]
+    read_lens = [300, 1000] if args.quick else [300, 1000, 5000]
+
+    settings = [("default", pl.ClassifyParams())]
+    if args.sweep:
+        settings += [
+            ("slots64", pl.ClassifyParams(n_slots=64)),
+            ("hits4", pl.ClassifyParams(hits_per_seed=4)),
+            ("slots64_hits4", pl.ClassifyParams(n_slots=64, hits_per_seed=4)),
+        ]
+
+    rows = []
+    for sname, params in settings:
+        for pname, error in profiles:
+            for L in read_lens:
+                r = ev.evaluate(
+                    built,
+                    seqs,
+                    params,
+                    np.random.default_rng(5),
+                    n_reads=args.n_reads,
+                    read_len=L,
+                    error=error,
+                )
+                r.settings = dict(setting=sname, profile=pname, read_len=L)
+                rows.append(r.row())
+                print(json.dumps(rows[-1]))
+
+    worst = min(r["accuracy"] for r in rows if r["profile"] != "r9_old")
+    print(f"\nworst-case accuracy (<=r9_hac profiles): {worst:.4f} (target >= 0.95)")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,9 @@ def main():
     from monica_tpu.ops import chain as ch
 
     built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
-    dev = pl.device_shard(built.shards[0])
-    print(f"table M={dev.tbl.shape}", file=sys.stderr)
+    dev, steps = pl.device_shard(built.shards[0])
+    params = pl.ClassifyParams(n_slots=128, lookup_steps=steps)
+    print(f"table M={dev.mz_hash.shape} steps={steps}", file=sys.stderr)
 
     rng = np.random.default_rng(3)
     codes = np.stack(
@@ -72,7 +73,6 @@ def main():
     codes[m] = rng.integers(0, 4, int(m.sum()))
     lengths = np.full(BATCH, READ_LEN, np.int32)
 
-    params = pl.ClassifyParams(n_slots=128)
     cd, ld = jnp.asarray(codes), jnp.asarray(lengths)
 
     # full pipeline
@@ -92,18 +92,18 @@ def main():
     # stage 2: lookup
     lkf = scan_loop(
         lambda: lk.lookup_anchors(
-            dev.tbl, dev.bucket_off, qh, qp, qs, qv,
+            dev.mz_hash, dev.mz_posstrand, dev.bucket_off, qh, qp, qs, qv,
             max_occ=params.max_occ, hits_per_seed=params.hits_per_seed,
-            bucket_len=READ_LEN,
+            bucket_len=READ_LEN, steps=params.lookup_steps,
         )
     )
     print(f"lookup_anchors      : {timed(lkf):8.2f} ms/batch")
 
     key, diag, rpos, fpos = jax.jit(
         lambda: lk.lookup_anchors(
-            dev.tbl, dev.bucket_off, qh, qp, qs, qv,
+            dev.mz_hash, dev.mz_posstrand, dev.bucket_off, qh, qp, qs, qv,
             max_occ=params.max_occ, hits_per_seed=params.hits_per_seed,
-            bucket_len=READ_LEN,
+            bucket_len=READ_LEN, steps=params.lookup_steps,
         )
     )()
 
