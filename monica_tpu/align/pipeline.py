@@ -104,6 +104,10 @@ class ClassifyParams(NamedTuple):
 
     k: int = mz.K_DEFAULT
     w: int = mz.W_DEFAULT
+    # scaled-winnowing fraction — MUST match the index side
+    # (IndexMeta.frac; Classifier/evaluate copy it from there so the two
+    # sides cannot diverge).  Validated in scripts/concordance.py --sweep.
+    frac: float = mz.FRAC_DEFAULT
     n_slots: int = 128  # minimizer slots per read
     hits_per_seed: int = 8
     max_occ: int = 64
@@ -141,7 +145,9 @@ def classify_shard(
     """Best hit of every read against one shard (pure jnp, jit-safe)."""
     B, L = codes.shape
 
-    qh, qp, qs, qv = mz.sketch_reads_jax(codes, params.n_slots, params.k, params.w)
+    qh, qp, qs, qv = mz.sketch_reads_jax(
+        codes, params.n_slots, params.k, params.w, frac=params.frac
+    )
     # mask slots beyond the true read length (padding makes fake kmers
     # impossible — PAD_CODE invalidates them — but be explicit)
     qv = qv & (qp < (lengths[:, None] - params.k + 1))

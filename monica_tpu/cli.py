@@ -65,6 +65,10 @@ def _common_parser() -> argparse.ArgumentParser:
     al.add_argument("--extend", action="store_true",
                     help="banded Smith-Waterman refinement (Pallas kernel)")
     al.add_argument("--band", type=int, default=128, help="extension band width")
+    al.add_argument("--frac", type=float, default=1.0,
+                    help="scaled-winnowing fraction (0<f<=1): subsample "
+                         "minimizers on BOTH index and query sides; validated "
+                         "by scripts/concordance.py --sweep")
 
     pt = p.add_argument_group("Plotting parameters")
     pt.add_argument("--not_auto_open_plot", action="store_true")
@@ -203,6 +207,7 @@ def _make_config(args):
         max_shard_bytes=max_shard_bytes,
         extend=args.extend,
         band=args.band,
+        frac=args.frac,
         reads_threshold=args.reads_threshold,
         show_legend=not args.not_show_legend,
         auto_open=not args.not_auto_open_plot,

@@ -63,7 +63,10 @@ def simulate_read_codes(
     keep = r >= dele
     frag = frag.copy()
     is_sub = (r >= dele) & (r < dele + sub)
-    frag[is_sub] = rng.integers(0, 4, int(is_sub.sum()))
+    # nonzero offset mod 4 guarantees a real base change (a uniform draw
+    # would reproduce the original base 25% of the time, silently
+    # lowering the effective substitution rate to 0.75*sub)
+    frag[is_sub] = (frag[is_sub] + rng.integers(1, 4, int(is_sub.sum()))) % 4
     frag = frag[keep]
     n_ins = rng.random(len(frag)) < ins
     if n_ins.any():
@@ -147,7 +150,9 @@ def evaluate(
     else:
         dev, steps = pl.stack_device_shards(built.shards)
         stacked = True
-    params = params._replace(lookup_steps=steps, k=built.meta.k, w=built.meta.w)
+    params = params._replace(
+        lookup_steps=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
+    )
 
     res = EvalResult(n_reads=n_reads)
     for s0 in range(0, n_reads, batch):

@@ -32,6 +32,7 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
         "format": "monica_tpu.index.v1",
         "k": meta.k,
         "w": meta.w,
+        "frac": meta.frac,
         "n_shards": len(index.shards),
         "tax_units": meta.tax_units,
         "accessions": meta.accessions,
@@ -66,6 +67,7 @@ def load_index(folder: str | os.PathLike) -> BuiltIndex:
         genome_lengths=np.asarray(manifest["genome_lengths"], dtype=np.int64),
         k=manifest["k"],
         w=manifest["w"],
+        frac=manifest.get("frac", 1.0),
     )
     shards = []
     for i in range(manifest["n_shards"]):

@@ -32,13 +32,18 @@ from monica_tpu.index import minimizer as mz
 
 @dataclass
 class IndexMeta:
-    """Host-side metadata shared by all shards."""
+    """Host-side metadata shared by all shards.
+
+    ``frac`` is the scaled-winnowing fraction the shards were sketched
+    with; it is stored here so the query side can never diverge from the
+    index side (a one-sided frac silently kills seed matches)."""
 
     tax_units: list[str]  # per accession-id: species_name (header part 0)
     accessions: list[str]  # per accession-id: accession (header part 1)
     genome_lengths: np.ndarray  # (n_accessions,) int64 total bp (database.py:65)
     k: int = mz.K_DEFAULT
     w: int = mz.W_DEFAULT
+    frac: float = mz.FRAC_DEFAULT
 
     @property
     def n_accessions(self) -> int:
@@ -76,7 +81,8 @@ class BuiltIndex:
 # ---------------------------------------------------------------------------
 
 def sketch_long_sequence(
-    codes: np.ndarray, k: int, w: int, chunk: int = 1 << 23
+    codes: np.ndarray, k: int, w: int, chunk: int = 1 << 23,
+    frac: float = mz.FRAC_DEFAULT,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Chunked host sketch of one flat code array.
 
@@ -96,7 +102,7 @@ def sketch_long_sequence(
         stop = min(n, start + chunk)
         lo = max(0, start - overlap)
         hi = min(n, stop + overlap)
-        h, keep, s = mz.sketch_array(codes[None, lo:hi], k, w, np)
+        h, keep, s = mz.sketch_array(codes[None, lo:hi], k, w, np, frac=frac)
         sel = np.nonzero(keep[0])[0]
         gpos = sel + lo
         own = (gpos >= start) & (gpos < stop)
@@ -159,6 +165,49 @@ def split_genomes(
 # builder
 # ---------------------------------------------------------------------------
 
+def _build_shard(
+    members: list[int],
+    genome_records: list[list[np.ndarray]],
+    k: int,
+    w: int,
+    guard: int,
+    frac: float,
+    check_size: bool = False,
+) -> IndexShard:
+    """Pack the member genomes' records, sketch, sort, attribute.
+
+    Shared by :func:`build_index` and :func:`build_index_from_arrays`
+    so the shard construction recipe (chunked sketch, stable hash sort,
+    per-position accession fill) cannot drift between the two paths.
+    """
+    builder = enc.PackedSeqsBuilder(guard=guard)
+    for gi in members:
+        for rec_codes in genome_records[gi]:
+            builder.add(np.asarray(rec_codes, dtype=np.uint8), gi)
+    packed = builder.build()
+    if check_size and len(packed.codes) >= 2**30:
+        raise ValueError(
+            "index shard exceeds 1 Gbase; raise n_shards or lower "
+            "max_shard_bytes (per-shard positions are int32)"
+        )
+    h, pos, strand = sketch_long_sequence(packed.codes, k, w, frac=frac)
+    order = np.argsort(h, kind="stable")
+    # per-position accession id for device-side attribution
+    pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
+    for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
+        pos_acc[s0 : s0 + ln] = aid
+    return IndexShard(
+        ref_codes=packed.codes,
+        seq_starts=packed.starts,
+        seq_lengths=packed.lengths,
+        seq_accession_id=packed.seq_accession_id,
+        mz_hash=h[order],
+        mz_pos=pos[order].astype(np.int32),
+        mz_strand=strand[order],
+        pos_accession_id=pos_acc,
+    )
+
+
 def build_index(
     genomes: list[tuple[str, list[str]]],
     n_shards: int = 1,
@@ -166,6 +215,7 @@ def build_index(
     k: int = mz.K_DEFAULT,
     w: int = mz.W_DEFAULT,
     guard: int = 32,
+    frac: float = mz.FRAC_DEFAULT,
 ) -> BuiltIndex:
     """Build a sharded index from genome FASTA files.
 
@@ -193,36 +243,10 @@ def build_index(
         max_shard_bytes=max_shard_bytes,
     )
 
-    shards = []
-    for members in assignment:
-        builder = enc.PackedSeqsBuilder(guard=guard)
-        for gi in members:
-            for rec_codes in all_codes[gi]:
-                builder.add(rec_codes, gi)
-        packed = builder.build()
-        if len(packed.codes) >= 2**30:
-            raise ValueError(
-                "index shard exceeds 1 Gbase; raise n_shards or lower "
-                "max_shard_bytes (per-shard positions are int32)"
-            )
-        h, pos, strand = sketch_long_sequence(packed.codes, k, w)
-        order = np.argsort(h, kind="stable")
-        # per-position accession id for device-side attribution
-        pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
-        for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
-            pos_acc[s0 : s0 + ln] = aid
-        shards.append(
-            IndexShard(
-                ref_codes=packed.codes,
-                seq_starts=packed.starts,
-                seq_lengths=packed.lengths,
-                seq_accession_id=packed.seq_accession_id,
-                mz_hash=h[order],
-                mz_pos=pos[order].astype(np.int32),
-                mz_strand=strand[order],
-                pos_accession_id=pos_acc,
-            )
-        )
+    shards = [
+        _build_shard(members, all_codes, k, w, guard, frac, check_size=True)
+        for members in assignment
+    ]
 
     meta = IndexMeta(
         tax_units=tax_units,
@@ -230,6 +254,7 @@ def build_index(
         genome_lengths=genome_lengths,
         k=k,
         w=w,
+        frac=frac,
     )
     return BuiltIndex(meta=meta, shards=shards)
 
@@ -243,6 +268,7 @@ def build_index_from_arrays(
     k: int = mz.K_DEFAULT,
     w: int = mz.W_DEFAULT,
     guard: int = 32,
+    frac: float = mz.FRAC_DEFAULT,
 ) -> BuiltIndex:
     """Build an index directly from uint8 code arrays (one per genome) —
     the in-memory path used by benchmarks, the evaluation harness, and
@@ -256,35 +282,17 @@ def build_index_from_arrays(
         n_shards=n_shards if max_shard_bytes is None else None,
         max_shard_bytes=max_shard_bytes,
     )
-    shards = []
-    for members in assignment:
-        builder = enc.PackedSeqsBuilder(guard=guard)
-        for gi in members:
-            builder.add(np.asarray(seqs[gi], dtype=np.uint8), gi)
-        packed = builder.build()
-        h, pos, strand = sketch_long_sequence(packed.codes, k, w)
-        order = np.argsort(h, kind="stable")
-        pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
-        for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
-            pos_acc[s0 : s0 + ln] = aid
-        shards.append(
-            IndexShard(
-                ref_codes=packed.codes,
-                seq_starts=packed.starts,
-                seq_lengths=packed.lengths,
-                seq_accession_id=packed.seq_accession_id,
-                mz_hash=h[order],
-                mz_pos=pos[order].astype(np.int32),
-                mz_strand=strand[order],
-                pos_accession_id=pos_acc,
-            )
-        )
+    records = [[np.asarray(s, dtype=np.uint8)] for s in seqs]
+    shards = [
+        _build_shard(members, records, k, w, guard, frac) for members in assignment
+    ]
     meta = IndexMeta(
         tax_units=tax_units,
         accessions=accessions,
         genome_lengths=genome_lengths,
         k=k,
         w=w,
+        frac=frac,
     )
     return BuiltIndex(meta=meta, shards=shards)
 
@@ -301,10 +309,10 @@ def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:
     parts = [p for p in parts if p is not None]
     if len(parts) == 1:
         return parts[0]
-    k, w = parts[0].meta.k, parts[0].meta.w
+    k, w, frac = parts[0].meta.k, parts[0].meta.w, parts[0].meta.frac
     for p in parts:
-        if (p.meta.k, p.meta.w) != (k, w):
-            raise ValueError("cannot merge indexes with different k/w")
+        if (p.meta.k, p.meta.w, p.meta.frac) != (k, w, frac):
+            raise ValueError("cannot merge indexes with different k/w/frac")
     tax_units, accessions, lengths, shards = [], [], [], []
     base = 0
     for p in parts:
@@ -335,15 +343,19 @@ def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:
         genome_lengths=np.concatenate(lengths) if lengths else np.zeros(0, np.int64),
         k=k,
         w=w,
+        frac=frac,
     )
     return BuiltIndex(meta=meta, shards=shards)
 
 
-def content_key(genomes: list[tuple[str, list[str]]], k: int, w: int, n_shards: int) -> str:
+def content_key(
+    genomes: list[tuple[str, list[str]]], k: int, w: int, n_shards: int,
+    frac: float = mz.FRAC_DEFAULT,
+) -> str:
     """Content-addressed artifact key (replaces the reference's
     config-encoded folder names, `monica/monica.py:244-245`)."""
     hsh = hashlib.sha256()
-    hsh.update(f"k={k},w={w},shards={n_shards}".encode())
+    hsh.update(f"k={k},w={w},shards={n_shards},frac={frac}".encode())
     for path, hdr in genomes:
         hsh.update("|".join(hdr).encode())
         try:

@@ -32,10 +32,9 @@ W_DEFAULT = 10
 # frac * 2^32 (fmix32 output is uniform, so this subsamples the
 # winnowing set uniformly ON BOTH SIDES — index and query — preserving
 # matches at density frac).  1.0 = classic winnowing (map-ont parity).
-# The default is set from the accuracy harness (scripts/concordance.py):
-# classification concordance is insensitive to 4x subsampling while
-# lookup cost (the pipeline bottleneck: HBM gathers) scales ~linearly
-# with seed count and table size.
+# The value is recorded in IndexMeta.frac at build time and copied into
+# ClassifyParams by Classifier/evaluate, so index and query sides cannot
+# diverge; `scripts/concordance.py --sweep` measures accuracy vs frac.
 FRAC_DEFAULT = 1.0
 
 INVALID_HASH = np.uint32(0xFFFFFFFF)

@@ -95,14 +95,29 @@ def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult
     )
 
 
-def mapq_from_votes(f1, f2, scale: float = 40.0, cap: float = 60.0):
-    """minimap2-shaped mapping quality from chain scores
+def mapq_from_votes(f1, f2, scale: float = 40.0, cap: float = 60.0,
+                    anchor_bases: float = 15.0):
+    """minimap2-shaped mapping quality from chain votes
     (`aligner.py:194` consumes mappy's mapq; this is its analog):
-    mapq = 40·(1 - f2/f1)·min(1, m/10)·ln(f1), clamped to [0, cap].
+    mapq = 40·(1 - f2/f1)·min(1, m/10)·ln(s1), clamped to [0, cap].
+
+    minimap2 feeds chain SCORES (~ matched bases) into the log term and
+    the anchor COUNT into the m/10 saturation term; here votes stand in
+    for anchors and votes·anchor_bases (~ k bases matched per anchor)
+    for the score.  Using raw votes in the log term instead makes short
+    reads unmappable: a unique 8-anchor chain would score
+    40·0.8·ln 8 ≈ 66 barely over 60, and anything below 7 anchors could
+    never reach mapq 60 even with no runner-up (measured: 50% of 300 bp
+    reads at r9_hac error rates dropped to unmapped).
     """
     f1f = f1.astype(jnp.float32)
     f2f = f2.astype(jnp.float32)
     safe_f1 = jnp.maximum(f1f, 1.0)
-    q = scale * (1.0 - f2f / safe_f1) * jnp.minimum(1.0, f1f / 10.0) * jnp.log(safe_f1)
+    q = (
+        scale
+        * (1.0 - f2f / safe_f1)
+        * jnp.minimum(1.0, f1f / 10.0)
+        * jnp.log(safe_f1 * anchor_bases)
+    )
     q = jnp.where(f1 > 0, q, 0.0)
     return jnp.clip(q, 0.0, cap)

@@ -72,10 +72,14 @@ def expand_species_args(values: list[str] | None) -> list[str]:
     return names
 
 
-def group_string(prefix: str, species: list[str], mode: str, n_shards: int, k: int, w: int) -> str:
+def group_string(
+    prefix: str, species: list[str], mode: str, n_shards: int, k: int, w: int,
+    frac: float = 1.0,
+) -> str:
     """Cache key for an index group — the G_/H_/F_ naming convention
     kept human-readable, with build params explicit."""
-    return f"{prefix}_{'_'.join(species)}_m_{mode}_k{k}w{w}s{n_shards}"
+    fs = "" if frac == 1.0 else f"f{frac:g}"
+    return f"{prefix}_{'_'.join(species)}_m_{mode}_k{k}w{w}s{n_shards}{fs}"
 
 
 def _display_names(species: list[str]) -> list[str]:
@@ -96,13 +100,14 @@ def resolve_group_index(
     keep_genomes: bool = True,
     fetch_mode: str | None = None,
     metrics: Metrics | None = None,
+    frac: float = 1.0,
 ) -> BuiltIndex | None:
     """Fetch genomes for one species group and return its (possibly
     cached) built index, rebuilding when the genome set updated."""
     if not species:
         return None
     metrics = metrics or Metrics(verbose=False)
-    gs = group_string(prefix, species, mode, n_shards, k, w)
+    gs = group_string(prefix, species, mode, n_shards, k, w, frac)
     idir = rootutil.indexes_dir(ctx.root)
 
     # cache resolution order: explicit dirs > outside registry > inside
@@ -138,7 +143,8 @@ def resolve_group_index(
     rt.touch_sentinel(ctx.root, rt.S_ENTERED_INDEXER)
     with metrics.stage(f"build_index:{gs}", items=sum(1 for _ in genomes)):
         built = build_index(
-            genomes, n_shards=n_shards, max_shard_bytes=max_shard_bytes, k=k, w=w
+            genomes, n_shards=n_shards, max_shard_bytes=max_shard_bytes, k=k, w=w,
+            frac=frac,
         )
         artifact.save_index(built, target)
     rt.touch_sentinel(ctx.root, rt.S_FINISHED_INDEXING)
@@ -161,6 +167,7 @@ class AnalysisConfig:
     # budget keeps headroom — the reference's RAM/4/16 heuristic analog)
     k: int = 15
     w: int = 10
+    frac: float = 1.0  # scaled-winnowing fraction (index + query side)
     extend: bool = False
     band: int = 128
     reads_threshold: float = 0.0
@@ -198,7 +205,7 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
         ctx, "G", guests, cfg.mode, cfg.n_shards, cfg.k, cfg.w,
         max_shard_bytes=cfg.max_shard_bytes,
         extra_index_dirs=cfg.indexes, format_genomes=cfg.format_genomes,
-        keep_genomes=cfg.keep_genomes, metrics=metrics,
+        keep_genomes=cfg.keep_genomes, metrics=metrics, frac=cfg.frac,
     )
     if g_built:
         parts.append(g_built)
@@ -207,6 +214,7 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
             ctx, "H", [host], "single", 1, cfg.k, cfg.w,
             extra_index_dirs=cfg.indexes, format_genomes=cfg.format_genomes,
             keep_genomes=cfg.keep_genomes, fetch_mode="single", metrics=metrics,
+            frac=cfg.frac,
         )
         if h_built:
             parts.append(h_built)
@@ -255,7 +263,7 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
         f_built = resolve_group_index(
             ctx, "F", focus, "focus", 1, cfg.k, cfg.w,
             extra_index_dirs=cfg.indexes, keep_genomes=cfg.keep_genomes,
-            fetch_mode="focus", metrics=metrics,
+            fetch_mode="focus", metrics=metrics, frac=cfg.frac,
         )
         focus_query = query / rt.FOCUS_DIR
         if f_built and focus_query.exists():
@@ -303,11 +311,11 @@ def build_index_only(
         built = resolve_group_index(
             ctx, prefix, species, mode, n_shards, cfg.k, cfg.w,
             keep_genomes=cfg.keep_genomes, format_genomes=cfg.format_genomes,
-            fetch_mode=fetch_mode, metrics=metrics,
+            fetch_mode=fetch_mode, metrics=metrics, frac=cfg.frac,
         )
         if built is None:
             continue
-        gs = group_string(prefix, species, mode, n_shards, cfg.k, cfg.w)
+        gs = group_string(prefix, species, mode, n_shards, cfg.k, cfg.w, cfg.frac)
         target = idir / gs
         if indexes_folder:
             # clone/register outside folder (reference monica.py:563-604)
