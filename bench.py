@@ -62,7 +62,7 @@ def main():
     codes = codes.reshape(N_BATCHES, BATCH, READ_LEN)
     lengths = np.full((N_BATCHES, BATCH), READ_LEN, np.int32)
 
-    params = pl.ClassifyParams(n_slots=128, lookup_steps=steps)
+    params = pl.ClassifyParams(n_slots=128, tag_bits=steps)
     n_acc = built.meta.n_accessions
 
     @jax.jit

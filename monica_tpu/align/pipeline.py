@@ -42,61 +42,72 @@ COUNT_MODES = {"basic": MODE_BASIC, "query_length": MODE_QUERY_LENGTH, "matching
 class DeviceIndexShard(NamedTuple):
     """One index shard as device arrays (pytree)."""
 
-    mz_hash: jnp.ndarray  # (M,) uint32 sorted
-    mz_posstrand: jnp.ndarray  # (M,) int32 packed (pos << 1 | strand)
+    mz_entry: jnp.ndarray  # (M,) uint32 packed (tag | pos << 1 | strand)
     bucket_off: jnp.ndarray  # (2^BUCKET_BITS + 1,) int32 hash directory
     pos_acc: jnp.ndarray  # (T,) int32 position -> accession id
     ref_codes: jnp.ndarray  # (T,) uint8 packed reference
 
 
-def _packed_posstrand(shard: IndexShard) -> np.ndarray:
-    return (shard.mz_pos.astype(np.int32) << 1) | shard.mz_strand.astype(np.int32)
-
-
 def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
-    """Device arrays + the static binary-search depth for this table."""
-    off = lk.build_bucket_offsets(shard.mz_hash)
-    steps = lk.suggest_steps(shard.mz_hash, off)
+    """Device arrays + the static tag width for this shard's table."""
+    tag_bits = lk.tag_bits_for(len(shard.ref_codes))
     dev = DeviceIndexShard(
-        mz_hash=jnp.asarray(shard.mz_hash),
-        mz_posstrand=jnp.asarray(_packed_posstrand(shard)),
-        bucket_off=jnp.asarray(off),
+        mz_entry=jnp.asarray(
+            lk.pack_entries(shard.mz_hash, shard.mz_pos, shard.mz_strand, tag_bits)
+        ),
+        bucket_off=jnp.asarray(lk.build_bucket_offsets(shard.mz_hash)),
         pos_acc=jnp.asarray(shard.pos_accession_id.astype(np.int32)),
         ref_codes=jnp.asarray(shard.ref_codes),
     )
-    return dev, steps
+    return dev, tag_bits
 
 
 def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int]:
     """Pad shards to common sizes and stack on a leading axis for
     sharding over the mesh ``index`` axis.  Hash padding uses
-    INVALID_HASH, which sorts to the end and never matches a query.
-    Returns (stacked pytree, max binary-search depth over shards)."""
+    INVALID_HASH, which sorts to the end; padded entries are all-ones
+    and a query can only tag-match one with probability 2^-tag_bits,
+    noise the chain vote floor absorbs.
+    Returns (stacked pytree, common tag width over shards)."""
     M = max(s.n_minimizers for s in shards)
     T = max(len(s.ref_codes) for s in shards)
+    tag_bits = lk.tag_bits_for(T)
 
     def pad(a, n, fill):
         out = np.full((n,), fill, dtype=a.dtype)
         out[: len(a)] = a
         return out
 
-    offs, steps = [], 1
-    for s in shards:
-        padded_hash = pad(s.mz_hash, M, mz.INVALID_HASH)
-        off = lk.build_bucket_offsets(padded_hash)
-        steps = max(steps, lk.suggest_steps(padded_hash, off))
-        offs.append(off)
-
     dev = DeviceIndexShard(
-        mz_hash=jnp.asarray(np.stack([pad(s.mz_hash, M, mz.INVALID_HASH) for s in shards])),
-        mz_posstrand=jnp.asarray(np.stack([pad(_packed_posstrand(s), M, 0) for s in shards])),
-        bucket_off=jnp.asarray(np.stack(offs)),
+        mz_entry=jnp.asarray(
+            np.stack(
+                [
+                    pad(
+                        lk.pack_entries(s.mz_hash, s.mz_pos, s.mz_strand, tag_bits),
+                        M,
+                        np.uint32(0xFFFFFFFF),
+                    )
+                    for s in shards
+                ]
+            )
+        ),
+        bucket_off=jnp.asarray(
+            np.stack(
+                [
+                    lk.build_bucket_offsets(
+                        pad(s.mz_hash, M, mz.INVALID_HASH),
+                        lk.directory_bits(M),
+                    )
+                    for s in shards
+                ]
+            )
+        ),
         pos_acc=jnp.asarray(
             np.stack([pad(s.pos_accession_id.astype(np.int32), T, 0) for s in shards])
         ),
         ref_codes=jnp.asarray(np.stack([pad(s.ref_codes, T, 4) for s in shards])),
     )
-    return dev, steps
+    return dev, tag_bits
 
 
 class ClassifyParams(NamedTuple):
@@ -110,16 +121,24 @@ class ClassifyParams(NamedTuple):
     frac: float = mz.FRAC_DEFAULT
     n_slots: int = 128  # minimizer slots per read
     hits_per_seed: int = 8
-    max_occ: int = 64
     mapping_quality: float = 60.0  # reference default (monica aligner.py:65)
     min_votes: int = 3  # noise floor for a callable chain
-    lookup_steps: int = 16  # binary-search depth (device_shard suggests it)
+    tag_bits: int = 8  # packed-entry tag width (device_shard returns it)
     # banded Smith–Waterman extension (ops.extend): refines the
-    # anchor-count identity into an alignment NM/mlen.  Off by default
-    # for the pure seed-and-vote fast path; the CLI enables it.
-    extend: bool = False
+    # anchor-count identity into an alignment NM/mlen, and RESCUES
+    # uniquely-placed reads whose vote count alone cannot reach the
+    # mapq gate (short reads at high error rates: a 300 bp read at
+    # ~11% error has ~8 surviving seeds, and the reference's mappy
+    # path simply drops the low tail — extension verifies the locus by
+    # alignment instead, so classification is strictly more sensitive
+    # than the reference at equal precision).
+    extend: bool = True
     band: int = 128  # band width (lanes; multiple of 128 on TPU)
     extend_impl: str = "auto"  # "pallas" | "jnp" | "auto"
+    # rescue acceptance: alignment NM/mlen at most this, and runner-up
+    # locus at most half the best (uniqueness guard; shared-region
+    # reads keep failing toward unmapped/ambiguous as they should).
+    rescue_nm_rate: float = 0.35
 
 
 class ShardHit(NamedTuple):
@@ -153,17 +172,15 @@ def classify_shard(
     qv = qv & (qp < (lengths[:, None] - params.k + 1))
 
     key, diag, rpos, fpos = lk.lookup_anchors(
-        index.mz_hash,
-        index.mz_posstrand,
+        index.mz_entry,
         index.bucket_off,
         qh,
         qp,
         qs,
         qv,
-        max_occ=params.max_occ,
+        tag_bits=params.tag_bits,
         hits_per_seed=params.hits_per_seed,
         bucket_len=L,
-        steps=params.lookup_steps,
     )
     res = ch.chain_votes(key, diag, rpos, fpos)
     mapq = ch.mapq_from_votes(res.f1, res.f2)
@@ -177,6 +194,12 @@ def classify_shard(
     lf = lengths.astype(jnp.float32)
     mlen = jnp.maximum(identity * lf, 1.0)
     inv_identity = (1.0 - identity) / jnp.maximum(identity, 1e-6)
+
+    passed = (
+        (mapq >= params.mapping_quality)
+        & (res.f1 >= params.min_votes)
+        & (lengths > 0)
+    )
 
     if params.extend:
         # banded SW at the chained locus: replaces the statistical
@@ -195,13 +218,19 @@ def classify_shard(
         )
         mlen = ext.mlen.astype(jnp.float32)
         inv_identity = ext.inv_identity
+        # alignment rescue: a unique locus verified by high alignment
+        # identity is MAPPED even when too few seeds survived for the
+        # vote-based mapq (mappy's own extension plays this role).
+        rescued = (
+            (res.f1 >= 2)  # 2 co-diagonal anchors seat the band; the
+            # alignment identity below is the actual evidence
+            & (res.f2 * 2 <= res.f1)
+            & (ext.inv_identity <= params.rescue_nm_rate)
+            & (lengths > 0)
+        )
+        passed = passed | rescued
 
     acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
-    passed = (
-        (mapq >= params.mapping_quality)
-        & (res.f1 >= params.min_votes)
-        & (lengths > 0)
-    )
     return ShardHit(
         acc_id=acc_id.astype(jnp.int32),
         inv_identity=inv_identity,

@@ -102,7 +102,7 @@ class Classifier:
         self.count_mode = pl.COUNT_MODES[count_mode]
         stacked, steps = pl.stack_device_shards(built.shards)
         self.params = params._replace(
-            lookup_steps=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
+            tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
         )
         self.mesh = mesh
         if mesh is None:

@@ -62,8 +62,9 @@ def _common_parser() -> argparse.ArgumentParser:
         "-a", "--alignment_mode", default="query_length",
         choices=["basic", "query_length", "matching"],
     )
-    al.add_argument("--extend", action="store_true",
-                    help="banded Smith-Waterman refinement (Pallas kernel)")
+    al.add_argument("--extend", action=argparse.BooleanOptionalAction, default=True,
+                    help="banded Smith-Waterman refinement + low-seed rescue "
+                         "(Pallas kernel; --no-extend for the seed-vote-only fast path)")
     al.add_argument("--band", type=int, default=128, help="extension band width")
     al.add_argument("--frac", type=float, default=1.0,
                     help="scaled-winnowing fraction (0<f<=1): subsample "

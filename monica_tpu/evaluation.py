@@ -151,7 +151,7 @@ def evaluate(
         dev, steps = pl.stack_device_shards(built.shards)
         stacked = True
     params = params._replace(
-        lookup_steps=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
+        tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
     )
 
     res = EvalResult(n_reads=n_reads)

@@ -33,6 +33,7 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
         "k": meta.k,
         "w": meta.w,
         "frac": meta.frac,
+        "occ_cap": meta.occ_cap,
         "n_shards": len(index.shards),
         "tax_units": meta.tax_units,
         "accessions": meta.accessions,
@@ -68,6 +69,7 @@ def load_index(folder: str | os.PathLike) -> BuiltIndex:
         k=manifest["k"],
         w=manifest["w"],
         frac=manifest.get("frac", 1.0),
+        occ_cap=manifest.get("occ_cap", 0),
     )
     shards = []
     for i in range(manifest["n_shards"]):

@@ -29,6 +29,13 @@ from monica_tpu.io import encode as enc
 from monica_tpu.io import seq as seqio
 from monica_tpu.index import minimizer as mz
 
+# drop minimizers occurring more often than this from the table (the
+# minimap2 repetitive-seed filter analog, cf. its -f top-fraction cut):
+# repeats produce bogus anchors everywhere, and short equal-hash runs
+# are what lets query lookup use a fixed gather window with no search
+# (ops.lookup).  16 comfortably covers rRNA-operon-grade duplication.
+OCC_CAP = 16
+
 
 @dataclass
 class IndexMeta:
@@ -44,6 +51,7 @@ class IndexMeta:
     k: int = mz.K_DEFAULT
     w: int = mz.W_DEFAULT
     frac: float = mz.FRAC_DEFAULT
+    occ_cap: int = OCC_CAP
 
     @property
     def n_accessions(self) -> int:
@@ -172,26 +180,34 @@ def _build_shard(
     w: int,
     guard: int,
     frac: float,
-    check_size: bool = False,
+    occ_cap: int = OCC_CAP,
 ) -> IndexShard:
     """Pack the member genomes' records, sketch, sort, attribute.
 
     Shared by :func:`build_index` and :func:`build_index_from_arrays`
     so the shard construction recipe (chunked sketch, stable hash sort,
-    per-position accession fill) cannot drift between the two paths.
+    occ capping, per-position accession fill) cannot drift between the
+    two paths.
     """
     builder = enc.PackedSeqsBuilder(guard=guard)
     for gi in members:
         for rec_codes in genome_records[gi]:
             builder.add(np.asarray(rec_codes, dtype=np.uint8), gi)
     packed = builder.build()
-    if check_size and len(packed.codes) >= 2**30:
+    if len(packed.codes) >= 2**26:
         raise ValueError(
-            "index shard exceeds 1 Gbase; raise n_shards or lower "
-            "max_shard_bytes (per-shard positions are int32)"
+            "index shard exceeds 64 Mbase; raise n_shards or lower "
+            "max_shard_bytes (packed lookup entries need >= 5 tag bits, "
+            "ops/lookup.py MIN_TAG_BITS)"
         )
     h, pos, strand = sketch_long_sequence(packed.codes, k, w, frac=frac)
     order = np.argsort(h, kind="stable")
+    if occ_cap and len(order):
+        hs = h[order]
+        # run-length per entry of its equal-hash run; drop long runs
+        starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [len(hs)]]))
+        order = order[np.repeat(runlen <= occ_cap, runlen)]
     # per-position accession id for device-side attribution
     pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
     for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
@@ -216,6 +232,7 @@ def build_index(
     w: int = mz.W_DEFAULT,
     guard: int = 32,
     frac: float = mz.FRAC_DEFAULT,
+    occ_cap: int = OCC_CAP,
 ) -> BuiltIndex:
     """Build a sharded index from genome FASTA files.
 
@@ -244,7 +261,7 @@ def build_index(
     )
 
     shards = [
-        _build_shard(members, all_codes, k, w, guard, frac, check_size=True)
+        _build_shard(members, all_codes, k, w, guard, frac, occ_cap)
         for members in assignment
     ]
 
@@ -255,6 +272,7 @@ def build_index(
         k=k,
         w=w,
         frac=frac,
+        occ_cap=occ_cap,
     )
     return BuiltIndex(meta=meta, shards=shards)
 
@@ -269,6 +287,7 @@ def build_index_from_arrays(
     w: int = mz.W_DEFAULT,
     guard: int = 32,
     frac: float = mz.FRAC_DEFAULT,
+    occ_cap: int = OCC_CAP,
 ) -> BuiltIndex:
     """Build an index directly from uint8 code arrays (one per genome) —
     the in-memory path used by benchmarks, the evaluation harness, and
@@ -284,7 +303,8 @@ def build_index_from_arrays(
     )
     records = [[np.asarray(s, dtype=np.uint8)] for s in seqs]
     shards = [
-        _build_shard(members, records, k, w, guard, frac) for members in assignment
+        _build_shard(members, records, k, w, guard, frac, occ_cap)
+        for members in assignment
     ]
     meta = IndexMeta(
         tax_units=tax_units,
@@ -293,6 +313,7 @@ def build_index_from_arrays(
         k=k,
         w=w,
         frac=frac,
+        occ_cap=occ_cap,
     )
     return BuiltIndex(meta=meta, shards=shards)
 
@@ -344,6 +365,7 @@ def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:
         k=k,
         w=w,
         frac=frac,
+        occ_cap=parts[0].meta.occ_cap,
     )
     return BuiltIndex(meta=meta, shards=shards)
 

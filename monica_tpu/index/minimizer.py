@@ -89,19 +89,51 @@ def kmer_hashes(codes, k: int = K_DEFAULT, xp=np):
     codes: (..., n) uint8 base codes.
     Returns (hashes, strands): (..., n-k+1) uint32 / bool.  ``strands``
     is True where the reverse complement is the canonical strand.
+
+    Built by log-composition instead of a k-pass rolling loop: width-2^j
+    block values double in log2(k) shifted-combine passes, then the
+    binary decomposition of k stitches the final k-mer value — ~4x
+    fewer VPU passes at k=15 (same values bit-for-bit: the k-mer
+    integer, and hence fmix32, is position-order-defined).
     """
     n = codes.shape[-1]
     m = n - k + 1
     if m <= 0:
         raise ValueError(f"sequence shorter than k={k}")
-    fwd = xp.zeros(codes.shape[:-1] + (m,), dtype=xp.uint32)
-    rc = xp.zeros_like(fwd)
-    bad = xp.zeros(codes.shape[:-1] + (m,), dtype=bool)
-    for j in range(k):
-        c = codes[..., j : j + m].astype(xp.uint32)
-        bad = bad | (c >= 4)
-        fwd = (fwd << 2) | (c & 3)
-        rc = rc | (((3 - c) & 3) << xp.uint32(2 * j))
+    c = codes.astype(xp.uint32)
+    # width-1 blocks: fw[i] = base value, rv[i] = complement value
+    # (first base most significant in all block values)
+    fw = c & xp.uint32(3)
+    rv = (xp.uint32(3) - fw) & xp.uint32(3)
+    bd = c >= 4
+    blocks = {1: (fw, rv, bd)}
+    width = 1
+    while width * 2 <= k:
+        sh = xp.uint32(2 * width)
+        fw2 = (fw << sh) | _shift_fill(xp, fw, width, xp.uint32(0))
+        # rc(AB) = rc(B) rc(A): the right half's complement leads
+        rv2 = (_shift_fill(xp, rv, width, xp.uint32(0)) << sh) | rv
+        bd2 = bd | _shift_fill(xp, bd, width, True)
+        width *= 2
+        fw, rv, bd = fw2, rv2, bd2
+        blocks[width] = (fw, rv, bd)
+    # stitch k = sum of powers of two, most-significant segment first
+    fwd = rc = bad = None
+    off = 0
+    for p in sorted((1 << b for b in range(k.bit_length()) if (k >> b) & 1),
+                    reverse=True):
+        fp, rp, bp = blocks[p]
+        fseg = _shift_fill(xp, fp, off, xp.uint32(0)) if off else fp
+        rseg = _shift_fill(xp, rp, off, xp.uint32(0)) if off else rp
+        bseg = _shift_fill(xp, bp, off, True) if off else bp
+        if fwd is None:
+            fwd, rc, bad = fseg, rseg, bseg
+        else:
+            fwd = (fwd << xp.uint32(2 * p)) | fseg
+            rc = (rseg << xp.uint32(2 * off)) | rc
+            bad = bad | bseg
+        off += p
+    fwd, rc, bad = fwd[..., :m], rc[..., :m], bad[..., :m]
     strand = rc < fwd
     canonical = xp.minimum(fwd, rc)
     h = fmix32(xp, canonical)

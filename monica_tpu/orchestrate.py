@@ -168,7 +168,7 @@ class AnalysisConfig:
     k: int = 15
     w: int = 10
     frac: float = 1.0  # scaled-winnowing fraction (index + query side)
-    extend: bool = False
+    extend: bool = True
     band: int = 128
     reads_threshold: float = 0.0
     show_legend: bool = True

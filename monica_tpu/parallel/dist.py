@@ -57,7 +57,10 @@ def make_sharded_classifier(
         counts = jax.lax.psum(counts * keep, (DATA_AXIS, INDEX_AXIS))
         return result, counts
 
-    index_in_spec = jax.tree.map(lambda _: P(INDEX_AXIS), pl.DeviceIndexShard(*[0] * 5))
+    index_in_spec = jax.tree.map(
+        lambda _: P(INDEX_AXIS),
+        pl.DeviceIndexShard(*[0] * len(pl.DeviceIndexShard._fields)),
+    )
     step = shard_map(
         local_step,
         mesh=mesh,

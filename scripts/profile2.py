@@ -58,9 +58,9 @@ def main():
 
     t0 = time.time()
     built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
-    dev, steps = pl.device_shard(built.shards[0])
-    params = pl.ClassifyParams(n_slots=128, lookup_steps=steps)
-    log(f"build {time.time()-t0:.1f}s  table M={dev.mz_hash.shape} steps={steps}")
+    dev, tb = pl.device_shard(built.shards[0])
+    params = pl.ClassifyParams(n_slots=128, tag_bits=tb)
+    log(f"build {time.time()-t0:.1f}s  table M={dev.mz_entry.shape} tag_bits={tb}")
 
     rng = np.random.default_rng(3)
     codes = np.stack(
@@ -85,9 +85,9 @@ def main():
 
     def lku(hps):
         return lambda: lk.lookup_anchors(
-            dev.mz_hash, dev.mz_posstrand, dev.bucket_off, qh, qp, qs, qv,
-            max_occ=params.max_occ, hits_per_seed=hps,
-            bucket_len=READ_LEN, steps=params.lookup_steps,
+            dev.mz_entry, dev.bucket_off, qh, qp, qs, qv,
+            tag_bits=params.tag_bits, hits_per_seed=hps,
+            bucket_len=READ_LEN,
         )
 
     timed("lookup_anchors (C=8)", lku(8))

@@ -28,7 +28,7 @@ def _classify(built, reads, params=None, count_mode=pl.MODE_BASIC):
     params = params or pl.ClassifyParams()
     batches = bucketize_reads(reads)
     dev, steps = pl.device_shard(built.shards[0])
-    params = params._replace(lookup_steps=steps)
+    params = params._replace(tag_bits=steps)
     n_acc = built.meta.n_accessions
     statuses = np.zeros(len(reads), np.int32)
     accs = np.zeros(len(reads), np.int32)
@@ -124,9 +124,12 @@ def test_multi_shard_merge_matches_single(small_index):
         for b in batches:
             hits = []
             for sh in built2.shards:
-                dev, _s = pl.device_shard(sh)
+                dev, tb = pl.device_shard(sh)
                 hits.append(
-                    pl.classify_shard(dev, jnp.asarray(b.codes), jnp.asarray(b.lengths), params)
+                    pl.classify_shard(
+                        dev, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                        params._replace(tag_bits=tb),
+                    )
                 )
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *hits)
             res = pl.merge_hits(stacked)

@@ -32,7 +32,7 @@ def test_extension_refines_identity_and_keeps_assignments(small_index):
     codes, lengths = jnp.asarray(batch.codes), jnp.asarray(batch.lengths)
 
     dev, steps = pl.device_shard(built.shards[0])
-    base = pl.ClassifyParams(n_slots=64, lookup_steps=steps)
+    base = pl.ClassifyParams(n_slots=64, tag_bits=steps)
     with_ext = base._replace(extend=True, band=128, extend_impl="jnp")
     n_acc = built.meta.n_accessions
 

@@ -33,7 +33,7 @@ def test_sharded_classifier_matches_merge(setup):
     mesh = pm.make_mesh(n_data=4, n_index=2)
 
     stacked, steps = pl.stack_device_shards(built.shards)
-    params = params._replace(lookup_steps=steps)
+    params = params._replace(tag_bits=steps)
     step = make_sharded_classifier(mesh, params, built.meta.n_accessions, pl.MODE_BASIC)
 
     batches = bucketize_reads(reads)
