@@ -39,6 +39,9 @@ SUB_RATE = 0.05
 
 
 def main():
+    from monica_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

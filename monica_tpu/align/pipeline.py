@@ -42,8 +42,7 @@ COUNT_MODES = {"basic": MODE_BASIC, "query_length": MODE_QUERY_LENGTH, "matching
 class DeviceIndexShard(NamedTuple):
     """One index shard as device arrays (pytree)."""
 
-    mz_entry: jnp.ndarray  # (M,) uint32 packed (tag | pos << 1 | strand)
-    bucket_off: jnp.ndarray  # (2^BUCKET_BITS + 1,) int32 hash directory
+    mz_rows: jnp.ndarray  # (2^rbits, ROW_SLOTS) uint32 direct-addressed table
     pos_acc: jnp.ndarray  # (T,) int32 position -> accession id
     ref_codes: jnp.ndarray  # (T,) uint8 packed reference
 
@@ -52,10 +51,9 @@ def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
     """Device arrays + the static tag width for this shard's table."""
     tag_bits = lk.tag_bits_for(len(shard.ref_codes))
     dev = DeviceIndexShard(
-        mz_entry=jnp.asarray(
-            lk.pack_entries(shard.mz_hash, shard.mz_pos, shard.mz_strand, tag_bits)
+        mz_rows=jnp.asarray(
+            lk.build_hash_rows(shard.mz_hash, shard.mz_pos, shard.mz_strand, tag_bits)
         ),
-        bucket_off=jnp.asarray(lk.build_bucket_offsets(shard.mz_hash)),
         pos_acc=jnp.asarray(shard.pos_accession_id.astype(np.int32)),
         ref_codes=jnp.asarray(shard.ref_codes),
     )
@@ -64,14 +62,15 @@ def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
 
 def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int]:
     """Pad shards to common sizes and stack on a leading axis for
-    sharding over the mesh ``index`` axis.  Hash padding uses
-    INVALID_HASH, which sorts to the end; padded entries are all-ones
-    and a query can only tag-match one with probability 2^-tag_bits,
-    noise the chain vote floor absorbs.
+    sharding over the mesh ``index`` axis.  All shards share the widest
+    row-index width (a sparser table for small shards costs only
+    memory) and the tag width of the largest packed reference, so the
+    stacked table is rectangular.  Row padding is all-zeros = the
+    empty-slot sentinel.
     Returns (stacked pytree, common tag width over shards)."""
-    M = max(s.n_minimizers for s in shards)
     T = max(len(s.ref_codes) for s in shards)
     tag_bits = lk.tag_bits_for(T)
+    rbits = max(lk.row_bits_for(s.n_minimizers) for s in shards)
 
     def pad(a, n, fill):
         out = np.full((n,), fill, dtype=a.dtype)
@@ -79,24 +78,11 @@ def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int
         return out
 
     dev = DeviceIndexShard(
-        mz_entry=jnp.asarray(
+        mz_rows=jnp.asarray(
             np.stack(
                 [
-                    pad(
-                        lk.pack_entries(s.mz_hash, s.mz_pos, s.mz_strand, tag_bits),
-                        M,
-                        np.uint32(0xFFFFFFFF),
-                    )
-                    for s in shards
-                ]
-            )
-        ),
-        bucket_off=jnp.asarray(
-            np.stack(
-                [
-                    lk.build_bucket_offsets(
-                        pad(s.mz_hash, M, mz.INVALID_HASH),
-                        lk.directory_bits(M),
+                    lk.build_hash_rows(
+                        s.mz_hash, s.mz_pos, s.mz_strand, tag_bits, rbits
                     )
                     for s in shards
                 ]
@@ -120,7 +106,6 @@ class ClassifyParams(NamedTuple):
     # sides cannot diverge).  Validated in scripts/concordance.py --sweep.
     frac: float = mz.FRAC_DEFAULT
     n_slots: int = 128  # minimizer slots per read
-    hits_per_seed: int = 8
     mapping_quality: float = 60.0  # reference default (monica aligner.py:65)
     min_votes: int = 3  # noise floor for a callable chain
     tag_bits: int = 8  # packed-entry tag width (device_shard returns it)
@@ -153,6 +138,21 @@ class ShardHit(NamedTuple):
     passed: jnp.ndarray  # (B,) bool mapq filter passed
     rc: jnp.ndarray  # (B,) bool
     ref_pos: jnp.ndarray  # (B,) int32 representative anchor target position
+    tied: jnp.ndarray  # (B,) bool equal-strength locus on a DIFFERENT
+    # accession (the reference's best_hit exact tie -> ambiguous,
+    # aligner.py:328-339)
+
+
+def sketch_batch(codes, lengths, params: ClassifyParams):
+    """Read sketching, shard-independent — hoist it when scoring the
+    same batch against multiple index shards."""
+    qh, qp, qs, qv = mz.sketch_reads_jax(
+        codes, params.n_slots, params.k, params.w, frac=params.frac
+    )
+    # mask slots beyond the true read length (padding makes fake kmers
+    # impossible — PAD_CODE invalidates them — but be explicit)
+    qv = qv & (qp < (lengths[:, None] - params.k + 1))
+    return qh, qp, qs, qv
 
 
 def classify_shard(
@@ -160,26 +160,22 @@ def classify_shard(
     codes: jnp.ndarray,  # (B, L) uint8
     lengths: jnp.ndarray,  # (B,) int32
     params: ClassifyParams,
+    sketch=None,  # optional hoisted sketch_batch result
 ) -> ShardHit:
     """Best hit of every read against one shard (pure jnp, jit-safe)."""
     B, L = codes.shape
 
-    qh, qp, qs, qv = mz.sketch_reads_jax(
-        codes, params.n_slots, params.k, params.w, frac=params.frac
+    qh, qp, qs, qv = sketch if sketch is not None else sketch_batch(
+        codes, lengths, params
     )
-    # mask slots beyond the true read length (padding makes fake kmers
-    # impossible — PAD_CODE invalidates them — but be explicit)
-    qv = qv & (qp < (lengths[:, None] - params.k + 1))
 
     key, diag, rpos, fpos = lk.lookup_anchors(
-        index.mz_entry,
-        index.bucket_off,
+        index.mz_rows,
         qh,
         qp,
         qs,
         qv,
         tag_bits=params.tag_bits,
-        hits_per_seed=params.hits_per_seed,
         bucket_len=L,
     )
     res = ch.chain_votes(key, diag, rpos, fpos)
@@ -231,15 +227,23 @@ def classify_shard(
         passed = passed | rescued
 
     acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
+    acc2 = index.pos_acc[jnp.clip(res.rep2_ref_pos, 0, index.pos_acc.shape[0] - 1)]
+    tied = (
+        (res.f2 == res.f1)
+        & (res.f1 >= params.min_votes)
+        & (acc2 != acc_id)
+        & (lengths > 0)
+    )
     return ShardHit(
         acc_id=acc_id.astype(jnp.int32),
         inv_identity=inv_identity,
         mlen=mlen.astype(jnp.int32),
         mapq=mapq,
         votes=res.f1,
-        passed=passed,
+        passed=passed & ~tied,
         rc=res.rc,
         ref_pos=res.rep_ref_pos,
+        tied=tied,
     )
 
 
@@ -255,7 +259,7 @@ class ReadResult(NamedTuple):
 
 
 def finalize_single(hit: ShardHit) -> ReadResult:
-    status = jnp.where(hit.passed, MAPPED, UNMAPPED)
+    status = jnp.where(hit.passed, MAPPED, jnp.where(hit.tied, AMBIGUOUS, UNMAPPED))
     return ReadResult(
         status=status.astype(jnp.int32),
         acc_id=jnp.where(hit.passed, hit.acc_id, -1),
@@ -281,11 +285,17 @@ def merge_hits(hits: ShardHit) -> ReadResult:
     n_pass = jnp.sum(hits.passed, axis=0)
     any_pass = n_pass > 0
 
-    # tie detection: another passing shard achieving the same cost
+    # tie detection: another passing shard achieving the same cost, or
+    # (when nothing passed) any shard reporting an internal tie
     is_best = jnp.arange(S)[:, None] == best_s[None, :]
     tie = jnp.any((cost == best_cost[None, :]) & ~is_best & hits.passed, axis=0)
+    tied_inside = jnp.any(hits.tied, axis=0)
 
-    status = jnp.where(any_pass, jnp.where(tie, AMBIGUOUS, MAPPED), UNMAPPED)
+    status = jnp.where(
+        any_pass,
+        jnp.where(tie, AMBIGUOUS, MAPPED),
+        jnp.where(tied_inside, AMBIGUOUS, UNMAPPED),
+    )
     mapped = status == MAPPED
     return ReadResult(
         status=status.astype(jnp.int32),
@@ -333,9 +343,12 @@ def classify_batch_stacked(
     """Single-device multi-shard step: sequentially score every index
     shard (lax.map keeps it one dispatch), then merge — the on-device
     analog of the reference's loop over index chunks + hits.pkl merge
-    (`aligner.py:91-103,219-231`)."""
+    (`aligner.py:91-103,219-231`).  Sketching is shard-independent and
+    hoisted out of the shard loop."""
+    sk = sketch_batch(codes, lengths, params)
     hits = jax.lax.map(
-        lambda ix: classify_shard(ix, codes, lengths, params), stacked_index
+        lambda ix: classify_shard(ix, codes, lengths, params, sketch=sk),
+        stacked_index,
     )
     result = merge_hits(hits)
     counts = count_reads(result, lengths, n_accessions, count_mode)

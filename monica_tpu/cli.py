@@ -223,6 +223,9 @@ def _make_config(args):
 
 
 def main(argv=None) -> int:
+    from monica_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     root = rootutil.resolve_root(getattr(args, "root", None))
     command = getattr(args, "command", None)

@@ -149,11 +149,16 @@ class PackedSeqs:
 class PackedSeqsBuilder:
     def __init__(self, guard: int = 32):
         self.guard = guard
-        self._chunks: list[np.ndarray] = []
+        # leading guard: position 0 can then never host a minimizer,
+        # which lets the packed hash-table rows use payload==0 as the
+        # empty-slot sentinel (monica_tpu/ops/lookup.py)
+        self._chunks: list[np.ndarray] = (
+            [np.full(guard, N_CODE, dtype=np.uint8)] if guard else []
+        )
         self._starts: list[int] = []
         self._lengths: list[int] = []
         self._acc_ids: list[int] = []
-        self._off = 0
+        self._off = guard
 
     def add(self, codes: np.ndarray, accession_id: int) -> None:
         self._starts.append(self._off)

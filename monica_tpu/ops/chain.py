@@ -31,6 +31,7 @@ class ChainResult(NamedTuple):
     rep_read_pos: jnp.ndarray  # (B,) int32
     rep_ref_pos: jnp.ndarray  # (B,) int32
     rc: jnp.ndarray  # (B,) bool reverse-complement mapping
+    rep2_ref_pos: jnp.ndarray  # (B,) int32 runner-up locus anchor (tie attribution)
 
 
 def _pair_votes(skeys, max_run: int):
@@ -71,17 +72,24 @@ def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult
 
     # runner-up: strongest locus at least 2 bins away from the best
     far = valid & (jnp.abs(skeys - best_key[:, None]) > 1)
-    f2 = jnp.max(jnp.where(far, merged, 0), axis=-1)
+    f2m = jnp.where(far, merged, 0)
+    f2_i = jnp.argmax(f2m, axis=-1)
+    f2 = jnp.take_along_axis(f2m, f2_i[:, None], axis=-1)[:, 0]
+    second_key = jnp.take_along_axis(skeys, f2_i[:, None], axis=-1)[:, 0]
 
     # representative anchor: smallest read_pos within the winning pair
-    in_best = (key == best_key[:, None]) | (key == best_key[:, None] + 1)
     big = jnp.int32(1 << 30)
-    sel = jnp.where(in_best, read_pos, big)
-    rep_i = jnp.argmin(sel, axis=-1)
-    take1 = lambda x: jnp.take_along_axis(x, rep_i[:, None], axis=-1)[:, 0]
-    rep_diag = take1(diag)
-    rep_read_pos = take1(read_pos)
-    rep_ref_pos = take1(ref_pos)
+
+    def rep_of(k):
+        in_locus = (key == k[:, None]) | (key == k[:, None] + 1)
+        i = jnp.argmin(jnp.where(in_locus, read_pos, big), axis=-1)
+        take1 = lambda x: jnp.take_along_axis(x, i[:, None], axis=-1)[:, 0]
+        return take1(diag), take1(read_pos), take1(ref_pos)
+
+    rep_diag, rep_read_pos, rep_ref_pos = rep_of(best_key)
+    # runner-up locus anchor: lets the caller attribute the second-best
+    # location to an accession for tie -> ambiguous semantics
+    _, _, rep2_ref_pos = rep_of(second_key)
     rc = (best_key >> 24) > 0
 
     return ChainResult(
@@ -92,6 +100,7 @@ def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult
         rep_read_pos=rep_read_pos,
         rep_ref_pos=rep_ref_pos,
         rc=rc,
+        rep2_ref_pos=rep2_ref_pos,
     )
 
 

@@ -51,11 +51,13 @@ class ExtendParams(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray, rc: jnp.ndarray):
-    """Reverse-complement the rows where ``rc`` is True (in-band the
-    read is always aligned forward against the reference window).
+    """Reverse-complement the rows where ``rc`` is True.
 
     codes (B, L) uint8, lengths (B,), rc (B,) bool -> (B, L) uint8 with
-    PAD (4) beyond each read's true length.
+    PAD (4) beyond each read's true length.  NOT on the hot path any
+    more — extend_hits flips the *reference window* instead (a layout
+    op) because this per-row variable-length reverse lowers to an
+    expensive per-element gather; kept for host-side/testing use.
     """
     B, L = codes.shape
     i = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -63,18 +65,6 @@ def orient_reads(codes: jnp.ndarray, lengths: jnp.ndarray, rc: jnp.ndarray):
     c = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
     c = jnp.where(rc[:, None] & (c < 4), 3 - c, c)
     return jnp.where(i < lengths[:, None], c, jnp.uint8(4)).astype(jnp.uint8)
-
-
-def extension_diag(rep_ref_pos, rep_read_pos, rc, lengths, k: int):
-    """Expected ref position of (oriented) read base 0.
-
-    Forward anchors store diag = ref_pos - read_pos; rc anchors map the
-    read's reverse complement, whose anchor sits at oriented read
-    position ``len - read_pos - k``.
-    """
-    fwd = rep_ref_pos - rep_read_pos
-    rcd = rep_ref_pos - (lengths - rep_read_pos - k)
-    return jnp.where(rc, rcd, fwd)
 
 
 def extract_ref_windows(ref_codes: jnp.ndarray, diag: jnp.ndarray, L: int, band: int):
@@ -316,12 +306,33 @@ def extend_hits(ref_codes, codes, lengths, rep_ref_pos, rep_read_pos, rc,
                 k: int, p: ExtendParams, impl: str = "auto") -> Extension:
     """Banded extension of each read at its chained locus — refines the
     anchor-count identity estimate into an alignment-based NM/mlen
-    (`monica/genomes/aligner.py:195`'s hit.NM / hit.mlen analog)."""
+    (`monica/genomes/aligner.py:195`'s hit.NM / hit.mlen analog).
+
+    The read is NEVER reoriented (a per-row variable reverse is an
+    expensive per-element gather on TPU); instead, for rc anchors the
+    reference window is gathered on the anti-diagonal and then flipped
+    + complemented — whole-array layout/elementwise ops XLA handles
+    cheaply.  Row i of the DP then always pairs read base i with
+    window[i + band/2] regardless of orientation:
+
+      fwd:  partner(i) = ref[(ref_pos - read_pos) + i]
+      rc:   partner(i) = comp(ref[D - i]),  D = ref_pos + read_pos + k-1
+            -> window = flip(comp(ref[D - L - band/2 + 1 .. D + band/2]))
+    """
     B, L = codes.shape
-    oriented = orient_reads(codes, lengths, rc)
-    diag = extension_diag(rep_ref_pos, rep_read_pos, rc, lengths, k)
-    refwin = extract_ref_windows(ref_codes, diag, L, p.band)
-    score, mlen = banded_sw(oriented, refwin, lengths, p, impl=impl)
+    W = p.band
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    q = jnp.where(i < lengths[:, None], codes, jnp.uint8(4))
+
+    fwd_start = rep_ref_pos - rep_read_pos - W // 2
+    anti = rep_ref_pos + rep_read_pos + (k - 1)
+    rc_start = anti - (L - 1) - W // 2
+    start = jnp.where(rc, rc_start, fwd_start)
+    refwin = extract_ref_windows(ref_codes, start + W // 2, L, W)
+    flipped = jnp.flip(refwin, axis=-1)
+    comp = jnp.where(flipped < 4, 3 - flipped, flipped)
+    refwin = jnp.where(rc[:, None], comp, refwin)
+    score, mlen = banded_sw(q, refwin, lengths, p, impl=impl)
     # S = MA·mlen − MM·X − G·gaps ⇒ X + gaps ≥ (MA·mlen − S)/max(MM,G)
     denom = max(min(p.mismatch, p.gap), 1)
     nm = jnp.maximum((p.match * mlen - score) // denom, 0)

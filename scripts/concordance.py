@@ -68,8 +68,6 @@ def main():
     if args.sweep:
         settings += [
             ("slots64", pl.ClassifyParams(n_slots=64), 1.0),
-            ("hits4", pl.ClassifyParams(hits_per_seed=4), 1.0),
-            ("slots64_hits4", pl.ClassifyParams(n_slots=64, hits_per_seed=4), 1.0),
             ("frac0.5", pl.ClassifyParams(), 0.5),
             ("frac0.25", pl.ClassifyParams(), 0.25),
             ("frac0.25_slots64", pl.ClassifyParams(n_slots=64), 0.25),

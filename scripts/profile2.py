@@ -60,7 +60,7 @@ def main():
     built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
     dev, tb = pl.device_shard(built.shards[0])
     params = pl.ClassifyParams(n_slots=128, tag_bits=tb)
-    log(f"build {time.time()-t0:.1f}s  table M={dev.mz_entry.shape} tag_bits={tb}")
+    log(f"build {time.time()-t0:.1f}s  rows={dev.mz_rows.shape} tag_bits={tb}")
 
     rng = np.random.default_rng(3)
     codes = np.stack(
@@ -74,7 +74,9 @@ def main():
     lengths = np.full(BATCH, READ_LEN, np.int32)
     cd, ld = jnp.asarray(codes), jnp.asarray(lengths)
 
-    timed("full classify_shard", lambda: pl.classify_shard(dev, cd, ld, params))
+    timed("full (extend=True)", lambda: pl.classify_shard(dev, cd, ld, params))
+    noext = params._replace(extend=False)
+    timed("full (extend=False)", lambda: pl.classify_shard(dev, cd, ld, noext))
     timed("sketch_reads_jax", lambda: mz.sketch_reads_jax(cd, params.n_slots, params.k, params.w))
 
     qh, qp, qs, qv = jax.jit(
@@ -83,17 +85,15 @@ def main():
     qv = qv & (qp < (ld[:, None] - params.k + 1))
     qh, qp, qs, qv = jax.device_put((qh, qp, qs, qv))
 
-    def lku(hps):
-        return lambda: lk.lookup_anchors(
-            dev.mz_entry, dev.bucket_off, qh, qp, qs, qv,
-            tag_bits=params.tag_bits, hits_per_seed=hps,
-            bucket_len=READ_LEN,
+    def lku():
+        return lk.lookup_anchors(
+            dev.mz_rows, qh, qp, qs, qv,
+            tag_bits=params.tag_bits, bucket_len=READ_LEN,
         )
 
-    timed("lookup_anchors (C=8)", lku(8))
-    timed("lookup_anchors (C=4)", lku(4))
+    timed("lookup_anchors (row-table)", lku)
 
-    key, diag, rpos, fpos = jax.jit(lku(8))()
+    key, diag, rpos, fpos = jax.jit(lku)()
     key, diag, rpos, fpos = jax.device_put((key, diag, rpos, fpos))
 
     timed("chain_votes (run=128)", lambda: ch.chain_votes(key, diag, rpos, fpos))

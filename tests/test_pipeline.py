@@ -91,6 +91,30 @@ def test_count_modes(small_index):
     assert c_match.sum() > 0
 
 
+def test_identical_genomes_tie_to_ambiguous():
+    """Two accessions with the same sequence: every read hits both with
+    equal strength -> AMBIGUOUS, never an arbitrary MAPPED pick (the
+    reference's best_hit exact-tie semantics, aligner.py:328-339)."""
+    from monica_tpu.index.build import build_index_from_arrays
+    from monica_tpu.io.encode import encode_seq
+
+    rng = np.random.default_rng(21)
+    g = random_genome(rng, 30_000)
+    codes = encode_seq(g)
+    built = build_index_from_arrays([codes, codes.copy()])
+    dev, tb = pl.device_shard(built.shards[0])
+    params = pl.ClassifyParams(tag_bits=tb)
+    reads, _ = sample_reads(rng, [g], 20, read_len=800, error=(0.01, 0.01, 0.01))
+    for b in bucketize_reads(reads):
+        res, counts = pl.classify_batch(
+            dev, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+            params, built.meta.n_accessions, pl.MODE_BASIC,
+        )
+        st = np.asarray(res.status)[np.asarray(b.idx) >= 0]
+        assert (st == pl.AMBIGUOUS).mean() > 0.9, st
+        assert int(np.asarray(counts).sum()) <= 2  # ambiguous never counted
+
+
 def test_multi_shard_merge_matches_single(small_index):
     """Sharding the same genomes must not change assignments (the
     reference aligns every read against every chunk and merges —
