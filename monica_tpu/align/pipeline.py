@@ -120,10 +120,23 @@ class ClassifyParams(NamedTuple):
     extend: bool = True
     band: int = 128  # band width (lanes; multiple of 128 on TPU)
     extend_impl: str = "auto"  # "pallas" | "jnp" | "auto"
+    # "full": banded SW on every read (alignment NM/mlen everywhere,
+    #   exactly what mappy reports, aligner.py:195).
+    # "rescue": banded SW only on a compacted subset of reads that
+    #   FAILED the vote gate (the only reads whose status it can
+    #   change); vote-passed reads keep the statistical identity.  The
+    #   SW cost drops from O(batch) to O(batch * rescue_frac) — on
+    #   well-seeded workloads extension all but vanishes from the
+    #   profile while sensitivity (the rescue path) is preserved.
+    extend_mode: str = "rescue"
+    rescue_frac: float = 0.125  # extension slot budget as batch fraction
     # rescue acceptance: alignment NM/mlen at most this, and runner-up
     # locus at most half the best (uniqueness guard; shared-region
     # reads keep failing toward unmapped/ambiguous as they should).
     rescue_nm_rate: float = 0.35
+    # verified anchors kept per seed (< lookup.ROW_SLOTS compacts the
+    # per-anchor arrays; chain sort cost scales with this)
+    anchors_per_seed: int = 4
 
 
 class ShardHit(NamedTuple):
@@ -177,6 +190,7 @@ def classify_shard(
         qv,
         tag_bits=params.tag_bits,
         bucket_len=L,
+        anchors_per_seed=params.anchors_per_seed,
     )
     res = ch.chain_votes(key, diag, rpos, fpos)
     mapq = ch.mapq_from_votes(res.f1, res.f2)
@@ -197,7 +211,7 @@ def classify_shard(
         & (lengths > 0)
     )
 
-    if params.extend:
+    if params.extend and params.extend_mode == "full":
         # banded SW at the chained locus: replaces the statistical
         # identity with an alignment-based NM/mlen (the hit.NM/hit.mlen
         # the reference reads off mappy, aligner.py:195)
@@ -225,6 +239,46 @@ def classify_shard(
             & (lengths > 0)
         )
         passed = passed | rescued
+    elif params.extend and params.extend_mode == "rescue":
+        # budgeted rescue: SW only on reads extension can still flip —
+        # unique-locus reads that FAILED the vote gate.  Candidates are
+        # compacted to a fixed slot budget (static shape) and the
+        # verdicts scattered back; vote-passed reads keep the
+        # statistical identity above.
+        cand = (
+            ~passed
+            & (res.f1 >= 2)
+            & (res.f2 * 2 <= res.f1)
+            & (lengths > 0)
+        )
+        n_slots = max(int(B * params.rescue_frac), 1)
+        order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
+        idx = order[:n_slots]
+        take = lambda x: jnp.take(x, idx, axis=0)
+        ext = ex.extend_hits(
+            index.ref_codes,
+            take(codes),
+            take(lengths),
+            take(res.rep_ref_pos),
+            take(res.rep_read_pos),
+            take(res.rc),
+            k=params.k,
+            p=ex.ExtendParams(band=params.band),
+            impl=params.extend_impl,
+        )
+        ok = take(cand) & (ext.inv_identity <= params.rescue_nm_rate)
+        rescued = jnp.zeros((B,), bool).at[idx].set(ok)
+        passed = passed | rescued
+        # rescued reads report their alignment identity; everyone else
+        # keeps the statistical estimate
+        inv_sc = jnp.zeros((B,), inv_identity.dtype).at[idx].set(
+            jnp.where(ok, ext.inv_identity, 0.0)
+        )
+        mlen_sc = jnp.zeros((B,), mlen.dtype).at[idx].set(
+            jnp.where(ok, ext.mlen.astype(mlen.dtype), 0.0)
+        )
+        inv_identity = jnp.where(rescued, inv_sc, inv_identity)
+        mlen = jnp.where(rescued, mlen_sc, mlen)
 
     acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
     acc2 = index.pos_acc[jnp.clip(res.rep2_ref_pos, 0, index.pos_acc.shape[0] - 1)]

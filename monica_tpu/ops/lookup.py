@@ -112,10 +112,16 @@ def lookup_anchors(
     q_valid,  # (B, S) bool
     tag_bits: int,
     bucket_len: int = 0,  # L, for diag offset bias
+    anchors_per_seed: int = 0,  # compact each seed's row to this many
+    # verified hits (0 = keep all ROW_SLOTS).  Real rows carry 1-2
+    # verified entries (load factor <= 2 + tag filtering); compaction
+    # shrinks every downstream per-anchor array — the chain stage's
+    # sort cost scales with it — while a seed with more matching
+    # positions than the budget (a repeat) just loses surplus copies.
 ):
     """Return per-read anchors with packed chain keys.
 
-    Outputs, each (B, S*ROW_SLOTS):
+    Outputs, each (B, S*A) where A = anchors_per_seed or ROW_SLOTS:
       key:      int32 packed (strand, diag bin); INVALID_KEY when unused
       diag:     int32 unquantized diagonal (ref-read for fwd, ref+read for rc)
       read_pos: int32
@@ -134,12 +140,23 @@ def lookup_anchors(
     ps = (e & jnp.uint32((1 << payload_bits) - 1)).astype(jnp.int32)
     hit_ok = seed_ok[..., None] & ((e >> payload_bits) == qtag) & (ps != 0)
 
+    if anchors_per_seed and anchors_per_seed < ROW_SLOTS:
+        # verified-hits-first compaction: zero out non-hits, sort the
+        # row descending (valid entries are nonzero, invalid exactly 0),
+        # keep the first A slots.  One tiny-axis sort, then every
+        # derived array below is A/ROW_SLOTS the size.
+        masked = jnp.where(hit_ok, e, jnp.uint32(0))
+        masked = jnp.flip(jnp.sort(masked, axis=-1), axis=-1)
+        e = masked[..., :anchors_per_seed]
+        ps = (e & jnp.uint32((1 << payload_bits) - 1)).astype(jnp.int32)
+        hit_ok = e != 0
+
     ref_pos = ps >> 1
     ref_strand = (ps & 1).astype(jnp.bool_)
 
     # anchor orientation: read maps forward iff read/ref canonical
     # strands agree at the shared minimizer
-    rc = q_strand[..., None] ^ ref_strand  # (B, S, W) True = rc mapping
+    rc = q_strand[..., None] ^ ref_strand  # (B, S, A) True = rc mapping
     rp = q_pos[..., None]  # broadcast read pos
     diag = jnp.where(rc, ref_pos + rp, ref_pos - rp)
 
@@ -151,7 +168,8 @@ def lookup_anchors(
         INVALID_KEY,
     )
 
-    flat = lambda x: x.reshape(B, S * ROW_SLOTS)
+    A = key.shape[-1]
+    flat = lambda x: x.reshape(B, S * A)
     return (
         flat(key),
         flat(diag),
