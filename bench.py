@@ -1,13 +1,18 @@
 #!/usr/bin/env python
-"""Headline benchmark: classification reads/s on one chip.
+"""Headline benchmark: classification reads/s on one chip at a
+REALISTIC index size.
 
-Workload mirrors BASELINE.json config 1: a mock community of 5
-bacterial-sized genome subsets, replicated index, 1 kb nanopore-like
-reads (5% substitutions).  The reference pipeline (mappy/minimap2
-map-ont, 3 threads, `monica/monica.py:92-94`) sustains ~2,000 reads/s
-at this read length on a workstation CPU — used as the fixed baseline
-denominator since the reference publishes no numbers (BASELINE.md) and
-mappy is not installable here.
+Workload mirrors BASELINE.json config 2 (ZymoBIOMICS mock community):
+8 bacterial (~5 Mb) + 2 yeast (~12 Mb) genomes ≈ 64 Mbase of reference
+in 2 index shards, 1 kb nanopore-like reads (5% substitutions).
+``--small`` runs the old config-1 workload (5 × 1 Mb, 1 shard) for
+comparison with BENCH_r01/r02.
+
+Baseline denominator: the reference pipeline (mappy/minimap2 map-ont,
+3 threads, `monica/monica.py:92-94`) at ~2,000 reads/s — an ASSUMPTION
+whose derivation, citation and sensitivity table live in BASELINE.md
+§"Assumed CPU baseline" (mappy is not installable here, so it cannot
+be measured in-environment).
 
 Methodology notes (this environment):
 * the device is reached through a tunnel where `block_until_ready` does
@@ -20,6 +25,7 @@ Methodology notes (this environment):
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -28,40 +34,58 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+# ASSUMED baseline — see BASELINE.md §"Assumed CPU baseline"
 BASELINE_READS_PER_S = 2000.0
 
-GENOME_LEN = 1_000_000
-N_GENOMES = 5
 READ_LEN = 1024
 BATCH = 2048
 N_BATCHES = 8
 SUB_RATE = 0.05
 
 
+def make_reads(seqs, rng, n_reads):
+    """Reads sampled position-uniformly over the community (big genomes
+    contribute proportionally more reads, like real sequencing)."""
+    sizes = np.array([len(s) for s in seqs], dtype=np.float64)
+    gsel = rng.choice(len(seqs), size=n_reads, p=sizes / sizes.sum())
+    codes = np.empty((n_reads, READ_LEN), dtype=np.uint8)
+    for i, g in enumerate(gsel):
+        s = rng.integers(0, len(seqs[g]) - READ_LEN)
+        codes[i] = seqs[g][s : s + READ_LEN]
+    m = rng.random(codes.shape) < SUB_RATE
+    codes[m] = rng.integers(0, 4, int(m.sum()))
+    return codes
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="config-1 workload (5 x 1 Mb, 1 shard) as in BENCH_r01/r02")
+    args = ap.parse_args()
+
     from monica_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _tiny_index
     from monica_tpu.align import pipeline as pl
-
-    t0 = time.time()
-    built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
-    dev, steps = pl.device_shard(built.shards[0])
-    build_s = time.time() - t0
+    from monica_tpu.evaluation import zymo_community
+    from monica_tpu.index.build import build_index_from_arrays
 
     rng = np.random.default_rng(3)
-    codes = np.stack(
-        [
-            seqs[rng.integers(0, N_GENOMES)][s : s + READ_LEN]
-            for s in rng.integers(0, GENOME_LEN - READ_LEN, BATCH * N_BATCHES)
-        ]
-    ).astype(np.uint8)
-    m = rng.random(codes.shape) < SUB_RATE
-    codes[m] = rng.integers(0, 4, int(m.sum()))
+    t0 = time.time()
+    if args.small:
+        seqs = [rng.integers(0, 4, 1_000_000).astype(np.uint8) for _ in range(5)]
+        n_shards = 1
+    else:
+        seqs = zymo_community(rng)
+        n_shards = 2
+    built = build_index_from_arrays(seqs, n_shards=n_shards)
+    groups, steps = pl.stack_device_shard_groups(built.shards)
+    build_s = time.time() - t0
+
+    codes = make_reads(seqs, rng, BATCH * N_BATCHES)
     codes = codes.reshape(N_BATCHES, BATCH, READ_LEN)
     lengths = np.full((N_BATCHES, BATCH), READ_LEN, np.int32)
 
@@ -69,31 +93,33 @@ def main():
     n_acc = built.meta.n_accessions
 
     @jax.jit
-    def run_all(dev, codes, lengths):
+    def run_all(groups, codes, lengths):
         def body(carry, batch):
             c, l = batch
-            hit = pl.classify_shard(dev, c, l, params)
-            res = pl.finalize_single(hit)
-            counts = pl.count_reads(res, l, n_acc, pl.MODE_QUERY_LENGTH)
+            res, counts = pl.classify_batch_grouped(
+                groups, c, l, params, n_acc, pl.MODE_QUERY_LENGTH
+            )
             return carry + counts, res.status
 
         return jax.lax.scan(body, jnp.zeros(n_acc, jnp.int32), (codes, lengths))
 
     cd, ld = jnp.asarray(codes), jnp.asarray(lengths)
-    total, statuses = run_all(dev, cd, ld)
+    total, statuses = run_all(groups, cd, ld)
     np.asarray(total)  # compile + real sync (host fetch)
 
     t0 = time.time()
-    total, statuses = run_all(dev, cd, ld)
+    total, statuses = run_all(groups, cd, ld)
     statuses_h = np.asarray(statuses)  # fetch forces completion
     dt = time.time() - t0
 
     n = BATCH * N_BATCHES
     reads_per_s = n / dt
     mapped = float((statuses_h == pl.MAPPED).mean())
+    ref_mb = sum(len(s) for s in seqs) / 1e6
     sys.stderr.write(
-        f"[bench] build={build_s:.1f}s classify={dt:.3f}s "
-        f"mapped_frac={mapped:.3f} device={jax.devices()[0].device_kind}\n"
+        f"[bench] index={ref_mb:.0f}Mbase/{n_shards}shard build={build_s:.1f}s "
+        f"classify={dt:.3f}s mapped_frac={mapped:.3f} "
+        f"device={jax.devices()[0].device_kind}\n"
     )
     print(
         json.dumps(

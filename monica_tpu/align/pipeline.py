@@ -60,7 +60,9 @@ def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
     return dev, tag_bits
 
 
-def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int]:
+def stack_device_shards(
+    shards: list[IndexShard], tag_bits: int | None = None
+) -> tuple[DeviceIndexShard, int]:
     """Pad shards to common sizes and stack on a leading axis for
     sharding over the mesh ``index`` axis.  All shards share the widest
     row-index width (a sparser table for small shards costs only
@@ -69,7 +71,8 @@ def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int
     empty-slot sentinel.
     Returns (stacked pytree, common tag width over shards)."""
     T = max(len(s.ref_codes) for s in shards)
-    tag_bits = lk.tag_bits_for(T)
+    if tag_bits is None:
+        tag_bits = lk.tag_bits_for(T)
     rbits = max(lk.row_bits_for(s.n_minimizers) for s in shards)
 
     def pad(a, n, fill):
@@ -94,6 +97,42 @@ def stack_device_shards(shards: list[IndexShard]) -> tuple[DeviceIndexShard, int
         ref_codes=jnp.asarray(np.stack([pad(s.ref_codes, T, 4) for s in shards])),
     )
     return dev, tag_bits
+
+
+def _size_class(n: int) -> int:
+    """Power-of-2 size class for shard grouping."""
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def stack_device_shard_groups(
+    shards: list[IndexShard],
+) -> tuple[tuple[DeviceIndexShard, ...], int]:
+    """Stack shards grouped by power-of-2 size class, so one oversized
+    shard (byte-budget packing gives an oversized genome its own shard,
+    index/build.py) does not pad every other shard to its size: stacked
+    HBM stays within ~1.25× the sum of the true shard sizes even on a
+    heavily skewed split, instead of S × max.  The tag width is common
+    across groups (sized for the largest packed reference) so one
+    static ClassifyParams covers every group.
+    Returns (tuple of stacked group pytrees, common tag width)."""
+    T = max(len(s.ref_codes) for s in shards)
+    tag_bits = lk.tag_bits_for(T)
+    by_class: dict[int, list[IndexShard]] = {}
+    for s in shards:
+        by_class.setdefault(_size_class(len(s.ref_codes)), []).append(s)
+    groups = tuple(
+        stack_device_shards(by_class[c], tag_bits=tag_bits)[0]
+        for c in sorted(by_class)
+    )
+    return groups, tag_bits
+
+
+def stacked_nbytes(groups) -> int:
+    """Total bytes of (a tuple of) stacked shard pytrees."""
+    total = 0
+    for g in groups if isinstance(groups, tuple) else (groups,):
+        total += sum(np.asarray(a).nbytes for a in g)
+    return total
 
 
 class ClassifyParams(NamedTuple):
@@ -137,6 +176,18 @@ class ClassifyParams(NamedTuple):
     # verified anchors kept per seed (< lookup.ROW_SLOTS compacts the
     # per-anchor arrays; chain sort cost scales with this)
     anchors_per_seed: int = 4
+    # cross-shard tie tolerance (relative, on the vote-statistical
+    # merge cost).  Identical sequence copies in DIFFERENT shards do
+    # not produce bit-identical votes — each shard's hash table
+    # overflows rows differently, dropping a few of ~40 anchors ≈ 5-8%
+    # relative cost noise — so the reference's exact-tie->ambiguous
+    # (aligner.py:336-337) becomes a near-tie band here.  10% (≈ ±4 of
+    # 40 votes) covers that noise while loci that differ by a unique
+    # flank (the discriminative case) sit far outside it; reads
+    # equidistant between near-identical strains come out AMBIGUOUS, as
+    # they should.  Single-shard tie semantics are untouched (exact
+    # f2==f1 inside classify_shard).
+    tie_rel_tol: float = 0.10
 
 
 class ShardHit(NamedTuple):
@@ -145,6 +196,14 @@ class ShardHit(NamedTuple):
 
     acc_id: jnp.ndarray  # (B,) int32 accession id within the global table
     inv_identity: jnp.ndarray  # (B,) f32 NM/mlen analog (lower = better)
+    # cross-shard merge cost: ALWAYS the vote-statistical estimate, even
+    # when extension refined inv_identity.  Two shards holding identical
+    # copies of a region produce identical sketches -> identical votes ->
+    # an EXACT tie here, regardless of whether the rescue path (whose
+    # slot budget is per-shard) kicked in on one side only — which is
+    # what makes the reference's exact-tie->ambiguous semantics
+    # (aligner.py:328-339) hold across shards.
+    merge_cost: jnp.ndarray  # (B,) f32
     mlen: jnp.ndarray  # (B,) int32 matching-bases estimate
     mapq: jnp.ndarray  # (B,) f32
     votes: jnp.ndarray  # (B,) int32 chain score f1
@@ -204,6 +263,7 @@ def classify_shard(
     lf = lengths.astype(jnp.float32)
     mlen = jnp.maximum(identity * lf, 1.0)
     inv_identity = (1.0 - identity) / jnp.maximum(identity, 1e-6)
+    stat_cost = inv_identity  # pre-extension estimate, the merge cost
 
     passed = (
         (mapq >= params.mapping_quality)
@@ -291,6 +351,7 @@ def classify_shard(
     return ShardHit(
         acc_id=acc_id.astype(jnp.int32),
         inv_identity=inv_identity,
+        merge_cost=stat_cost,
         mlen=mlen.astype(jnp.int32),
         mapq=mapq,
         votes=res.f1,
@@ -324,25 +385,33 @@ def finalize_single(hit: ShardHit) -> ReadResult:
     )
 
 
-def merge_hits(hits: ShardHit) -> ReadResult:
+DEFAULT_TIE_REL_TOL = ClassifyParams().tie_rel_tol
+
+
+def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> ReadResult:
     """Merge per-shard hits stacked on axis 0 — the device analog of
     merging per-chunk ``hits.pkl`` and running ``best_hit``
     (`aligner.py:219-231,328-339`): best = min inv_identity among
     passing shards; an exact tie between two passing shards with
-    different accessions -> AMBIGUOUS."""
+    different accessions -> AMBIGUOUS.  The comparison runs on the
+    vote-statistical ``merge_cost`` (see ShardHit.merge_cost: identical
+    cross-shard copies tie EXACTLY on it even when extension refined
+    only one side); the winner still reports its refined identity."""
     S, B = hits.passed.shape
     BIG = jnp.float32(1e9)
-    cost = jnp.where(hits.passed, hits.inv_identity, BIG)  # (S, B)
+    cost = jnp.where(hits.passed, hits.merge_cost, BIG)  # (S, B)
     best_s = jnp.argmin(cost, axis=0)  # (B,)
     take = lambda x: jnp.take_along_axis(x, best_s[None], axis=0)[0]
     best_cost = take(cost)
     n_pass = jnp.sum(hits.passed, axis=0)
     any_pass = n_pass > 0
 
-    # tie detection: another passing shard achieving the same cost, or
-    # (when nothing passed) any shard reporting an internal tie
+    # tie detection: another passing shard within the near-tie band of
+    # the best cost, or (when nothing passed) any shard reporting an
+    # internal tie
     is_best = jnp.arange(S)[:, None] == best_s[None, :]
-    tie = jnp.any((cost == best_cost[None, :]) & ~is_best & hits.passed, axis=0)
+    band = best_cost * jnp.float32(1.0 + tie_rel_tol) + jnp.float32(1e-6)
+    tie = jnp.any((cost <= band[None, :]) & ~is_best & hits.passed, axis=0)
     tied_inside = jnp.any(hits.tied, axis=0)
 
     status = jnp.where(
@@ -354,7 +423,7 @@ def merge_hits(hits: ShardHit) -> ReadResult:
     return ReadResult(
         status=status.astype(jnp.int32),
         acc_id=jnp.where(mapped, take(hits.acc_id), -1),
-        inv_identity=best_cost,
+        inv_identity=take(hits.inv_identity),
         mlen=jnp.where(mapped, take(hits.mlen), 0),
         mapq=take(hits.mapq),
         rc=take(hits.rc),
@@ -404,7 +473,36 @@ def classify_batch_stacked(
         lambda ix: classify_shard(ix, codes, lengths, params, sketch=sk),
         stacked_index,
     )
-    result = merge_hits(hits)
+    result = merge_hits(hits, params.tie_rel_tol)
+    counts = count_reads(result, lengths, n_accessions, count_mode)
+    return result, counts
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_accessions", "count_mode"))
+def classify_batch_grouped(
+    groups: tuple[DeviceIndexShard, ...],  # size-class groups, each with a (S_g,) shard axis
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    params: ClassifyParams,
+    n_accessions: int,
+    count_mode: int = MODE_QUERY_LENGTH,
+):
+    """Single-device multi-shard step over size-class groups
+    (stack_device_shard_groups): one lax.map per group, hits
+    concatenated along the shard axis, then the usual merge."""
+    sk = sketch_batch(codes, lengths, params)
+    hits = [
+        jax.lax.map(
+            lambda ix: classify_shard(ix, codes, lengths, params, sketch=sk), g
+        )
+        for g in groups
+    ]
+    merged = (
+        jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *hits)
+        if len(hits) > 1
+        else hits[0]
+    )
+    result = merge_hits(merged, params.tie_rel_tol)
     counts = count_reads(result, lengths, n_accessions, count_mode)
     return result, counts
 

@@ -79,6 +79,11 @@ def _common_parser() -> argparse.ArgumentParser:
     comp = p.add_argument_group("Computational parameters")
     comp.add_argument("-n", "--n_shards", type=int, default=1,
                       help="index shards (mesh index-axis size)")
+    comp.add_argument("--n_data", type=lambda v: -1 if v == "auto" else int(v),
+                      default=1,
+                      help="data-parallel mesh axis size: reads are SPMD-sharded "
+                           "over n_data × n_shards devices; 'auto' (or -1) uses "
+                           "every available device; 1 = single device")
     comp.add_argument("-im", "--indexing_memory", type=human_readable,
                       help="per-shard byte budget, e.g. 4G (alternative to -n)")
     comp.add_argument("-t", "--threads", type=int, default=3,
@@ -135,7 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_taxonomy(root: Path, taxdump: str | None):
+def _load_taxonomy(root: Path, taxdump: str | None, downloader=None):
     from monica_tpu.data.taxonomy import Taxonomy
 
     tax_dir = rootutil.subdir(root, "taxonomy")
@@ -145,12 +150,15 @@ def _load_taxonomy(root: Path, taxdump: str | None):
         )
         t.save(tax_dir)
         return t
-    cached = Taxonomy.load(tax_dir)
-    if cached is not None:
-        return cached
+    # cached taxonomy with a 14-day auto-refresh from TAXDUMP_URL (the
+    # reference's ete3 refresh cycle, fetcher.py:298-307); an offline
+    # transport just leaves the cache in place
+    t = Taxonomy.ensure(tax_dir, downloader=downloader)
+    if t is not None:
+        return t
     raise SystemExit(
         "no taxonomy available: pass --taxdump <dir with nodes.dmp/names.dmp> "
-        "once (it is cached under the root afterwards)"
+        "once (it is cached and auto-refreshed under the root afterwards)"
     )
 
 
@@ -178,7 +186,7 @@ def _make_context(args, root: Path):
                 raise FileNotFoundError(url)
             shutil.copyfile(src, out)
 
-    taxonomy = _load_taxonomy(root, args.taxdump)
+    taxonomy = _load_taxonomy(root, args.taxdump, downloader=downloader)
     return DataContext(
         root=root, taxonomy=taxonomy, downloader=downloader,
         genome_downloader=genome_downloader,
@@ -219,6 +227,7 @@ def _make_config(args):
         poll_s=args.poll_s,
         max_idle_polls=args.max_idle_polls if args.watch else 1,
         max_batch=args.max_batch,
+        n_data=args.n_data,
     )
 
 

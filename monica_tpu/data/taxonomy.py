@@ -129,6 +129,47 @@ class Taxonomy:
         path = Path(folder) / CACHE_FILE
         return path.exists() and (time.time() - path.stat().st_mtime) < days * 86400
 
+    @classmethod
+    def from_tarball(cls, tar_path: str | os.PathLike) -> "Taxonomy":
+        """Build from an NCBI ``taxdump.tar.gz`` (contains nodes.dmp +
+        names.dmp) — the payload behind TAXDUMP_URL."""
+        import tarfile
+        import tempfile
+
+        with tarfile.open(tar_path, "r:*") as tar, tempfile.TemporaryDirectory() as td:
+            for member in ("nodes.dmp", "names.dmp"):
+                tar.extract(member, td)
+            return cls.from_taxdump(Path(td) / "nodes.dmp", Path(td) / "names.dmp")
+
+    @classmethod
+    def ensure(
+        cls,
+        folder: str | os.PathLike,
+        downloader=None,
+        refresh_days: float = REFRESH_DAYS,
+    ) -> "Taxonomy | None":
+        """Fresh cached taxonomy, auto-refreshed from TAXDUMP_URL when
+        the cache is older than ``refresh_days`` (the reference's
+        14-day ete3 refresh, `fetcher.py:23-24,298-307`).  A failed
+        refresh (offline transport, air-gapped host) falls back to the
+        stale cache with a warning; returns None only when there is no
+        cache at all and no way to fetch one."""
+        import tempfile
+
+        if cls.cache_fresh(folder, refresh_days):
+            return cls.load(folder)
+        if downloader is not None:
+            try:
+                with tempfile.NamedTemporaryFile(suffix=".tar.gz") as tmp:
+                    downloader(TAXDUMP_URL, tmp.name)
+                    tax = cls.from_tarball(tmp.name)
+                tax.save(folder)
+                return tax
+            except Exception as e:
+                if (Path(folder) / CACHE_FILE).exists():
+                    print(f"taxonomy refresh failed ({e}); using stale cache")
+        return cls.load(folder)
+
 
 def descendants_taxid_finder(taxonomy: Taxonomy, species: list[str], focus: bool = False):
     """Species names -> one-column str DataFrame of their taxids plus

@@ -44,6 +44,14 @@ def mock_community(
     return seqs
 
 
+def zymo_community(rng: np.random.Generator, scale: float = 1.0) -> list[np.ndarray]:
+    """BASELINE.json config-2 analog: the ZymoBIOMICS mock community is
+    8 bacteria (~2-7 Mb genomes) + 2 yeasts (~12 Mb); modeled here as
+    8 × 5 Mb + 2 × 12 Mb ≈ 64 Mbase of reference."""
+    sizes = [int(5e6 * scale)] * 8 + [int(12e6 * scale)] * 2
+    return [rng.integers(0, 4, size=n).astype(np.uint8) for n in sizes]
+
+
 def simulate_read_codes(
     rng: np.random.Generator,
     genome: np.ndarray,

@@ -67,6 +67,10 @@ class ReadBatch:
 
 DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
+# Trailing window shorter than this is dropped when chunking an
+# ultra-long read (too few seeds to be informative on its own).
+MIN_TAIL = 256
+
 
 def bucket_for_length(n: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
@@ -75,34 +79,63 @@ def bucket_for_length(n: int, buckets=DEFAULT_BUCKETS) -> int:
     return buckets[-1]
 
 
+def window_plan(
+    lengths,
+    buckets=DEFAULT_BUCKETS,
+    max_batch: int | None = None,
+) -> list[tuple[int, list[tuple[int, int, int]]]]:
+    """Plan device rows for a set of read lengths.
+
+    Returns ``[(bucket_len, [(read_idx, offset, wlen), ...]), ...]``
+    batches.  Reads that fit a bucket get one row; reads longer than
+    the largest bucket are SPLIT into bucket-sized windows sharing the
+    same read_idx (chunk-and-merge — the reference maps full-length
+    ultra-long nanopore reads through minimap2, `monica/genomes/
+    aligner.py:193`; static XLA shapes make windows + a host-side vote
+    merge the TPU-native equivalent).  The runtime merges per-window
+    results per read (:func:`monica_tpu.align.runtime.process_sample`).
+    """
+    B = buckets[-1]
+    per: dict[int, list[tuple[int, int, int]]] = {}
+    for i, n in enumerate(lengths):
+        n = int(n)
+        if n <= B:
+            per.setdefault(bucket_for_length(n, buckets), []).append((i, 0, n))
+            continue
+        off = 0
+        while off < n:
+            w = min(B, n - off)
+            if w < MIN_TAIL:
+                break
+            per.setdefault(bucket_for_length(w, buckets), []).append((i, off, w))
+            off += w
+    out = []
+    for blen in sorted(per):
+        rows = per[blen]
+        step = max_batch or len(rows)
+        for s in range(0, len(rows), step):
+            out.append((blen, rows[s : s + step]))
+    return out
+
+
 def bucketize_reads(
     seqs: list[str],
     buckets=DEFAULT_BUCKETS,
     max_batch: int | None = None,
 ) -> list[ReadBatch]:
-    """Group reads into per-bucket padded batches.
-
-    Reads longer than the largest bucket are truncated to it (nanopore
-    ultra-long tail); classification on the prefix is still informative
-    and keeps shapes static.
-    """
-    per_bucket: dict[int, list[int]] = {}
-    for i, s in enumerate(seqs):
-        per_bucket.setdefault(bucket_for_length(len(s), buckets), []).append(i)
-
+    """Group reads into per-bucket padded batches (ultra-long reads
+    become multiple window rows with a shared idx; see window_plan)."""
     out: list[ReadBatch] = []
-    for blen in sorted(per_bucket):
-        ids = per_bucket[blen]
-        step = max_batch or len(ids)
-        for off in range(0, len(ids), step):
-            chunk = ids[off : off + step]
-            codes = np.full((len(chunk), blen), PAD_CODE, dtype=np.uint8)
-            lengths = np.zeros(len(chunk), dtype=np.int32)
-            for row, i in enumerate(chunk):
-                enc = encode_seq(seqs[i])[:blen]
-                codes[row, : len(enc)] = enc
-                lengths[row] = len(enc)
-            out.append(ReadBatch(codes, lengths, np.asarray(chunk, dtype=np.int32)))
+    for blen, rows in window_plan([len(s) for s in seqs], buckets, max_batch):
+        codes = np.full((len(rows), blen), PAD_CODE, dtype=np.uint8)
+        lengths = np.zeros(len(rows), dtype=np.int32)
+        idx = np.zeros(len(rows), dtype=np.int32)
+        for row, (i, off, w) in enumerate(rows):
+            enc = encode_seq(seqs[i][off : off + w])
+            codes[row, : len(enc)] = enc
+            lengths[row] = len(enc)
+            idx[row] = i
+        out.append(ReadBatch(codes, lengths, idx))
     return out
 
 

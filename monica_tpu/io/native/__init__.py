@@ -60,6 +60,8 @@ def load():
         lib.fastq_index.restype = ctypes.c_int64
         lib.fastq_count.restype = ctypes.c_int64
         lib.encode_rows.restype = None
+        lib.concat_records.restype = None
+        lib.concat_records_with_id.restype = None
         _lib = lib
         return _lib
 
@@ -100,6 +102,47 @@ class FastqView:
         o = self.id_off[i]
         return self.buf[o : o + self.id_len[i]]
 
+    def concat_records(self, indices: np.ndarray) -> np.ndarray:
+        """Raw bytes of the selected records, concatenated in C (one
+        buffer the caller writes with a single fh.write)."""
+        lib = load()
+        sel = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty(int(self.rec_len[sel].sum()), dtype=np.uint8)
+        if len(sel):
+            lib.concat_records(
+                self.buf,
+                self.rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.rec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(sel)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+            )
+        return out
+
+    def concat_records_with_id(self, indices: np.ndarray, new_id: bytes) -> np.ndarray:
+        """Selected records with every read id replaced by ``new_id``
+        (tax-unit rewrite on the mapped route), concatenated in C."""
+        lib = load()
+        sel = np.ascontiguousarray(indices, dtype=np.int64)
+        total = int(
+            (self.rec_len[sel] - self.id_len[sel]).sum() + len(new_id) * len(sel)
+        )
+        out = np.empty(total, dtype=np.uint8)
+        if len(sel):
+            lib.concat_records_with_id(
+                self.buf,
+                self.rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.rec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.id_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(sel)),
+                new_id,
+                ctypes.c_int32(len(new_id)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+            )
+        return out
+
     def record_with_id(self, i: int, new_id: bytes) -> bytes:
         """Record bytes with the id replaced (tax-unit rewrite on the
         mapped route, reference aligner.py:242)."""
@@ -107,9 +150,16 @@ class FastqView:
         rel = self.id_off[i] - self.rec_off[i]
         return rec[: rel] + new_id + rec[rel + self.id_len[i]:]
 
-    def encode_rows(self, indices: np.ndarray, out: np.ndarray) -> None:
+    def encode_rows(
+        self,
+        indices: np.ndarray,
+        out: np.ndarray,
+        offsets: np.ndarray | None = None,
+        window_lens: np.ndarray | None = None,
+    ) -> None:
         """Fill out[k, :] from read indices[k]; out must be uint8,
-        C-contiguous, pre-filled with PAD."""
+        C-contiguous, pre-filled with PAD.  ``offsets``/``window_lens``
+        select a window within each read (ultra-long chunking)."""
         lib = load()
         assert lib is not None
         n = len(indices)
@@ -118,6 +168,14 @@ class FastqView:
         sel = np.ascontiguousarray(indices, dtype=np.int64)
         so = np.ascontiguousarray(self.seq_off[sel])
         sl = np.ascontiguousarray(self.seq_len[sel])
+        if offsets is not None:
+            off = np.asarray(offsets, dtype=np.int64)
+            so = np.ascontiguousarray(so + off)
+            sl = np.ascontiguousarray(
+                np.minimum(
+                    np.asarray(window_lens, dtype=np.int64), sl - off
+                ).astype(np.int32)
+            )
         rows = np.arange(n, dtype=np.int64)
         lib.encode_rows(
             self.buf,

@@ -105,4 +105,41 @@ void encode_rows(const char* buf,
   }
 }
 
+// Concatenate selected raw record spans into one output buffer
+// (batched routing: unmapped/ambiguous/focus FASTQ writes become one
+// buffer build + one fwrite instead of a per-read Python loop).
+void concat_records(const char* buf,
+                    const int64_t* rec_off, const int64_t* rec_len,
+                    const int64_t* sel, int64_t n, char* out) {
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = sel[i];
+    memcpy(out + o, buf + rec_off[r], (size_t)rec_len[r]);
+    o += rec_len[r];
+  }
+}
+
+// Same, replacing each record's read id with new_id (the mapped-route
+// tax-unit rewrite, reference aligner.py:242).  Output size per record
+// is rec_len - id_len + new_id_len.
+void concat_records_with_id(const char* buf,
+                            const int64_t* rec_off, const int64_t* rec_len,
+                            const int64_t* id_off, const int32_t* id_len,
+                            const int64_t* sel, int64_t n,
+                            const char* new_id, int32_t new_id_len,
+                            char* out) {
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = sel[i];
+    int64_t pre = id_off[r] - rec_off[r];
+    memcpy(out + o, buf + rec_off[r], (size_t)pre);
+    o += pre;
+    memcpy(out + o, new_id, (size_t)new_id_len);
+    o += new_id_len;
+    int64_t post = rec_len[r] - pre - id_len[r];
+    memcpy(out + o, buf + id_off[r] + id_len[r], (size_t)post);
+    o += post;
+  }
+}
+
 }  // extern "C"

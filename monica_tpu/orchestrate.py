@@ -181,6 +181,37 @@ class AnalysisConfig:
     poll_s: float = 5.0
     max_idle_polls: int | None = 1
     max_batch: int = 4096
+    # data-parallel mesh axis size: 1 = single device, -1 = auto (use
+    # every device), N>1 = exactly N.  The total device need is
+    # n_data × n_shards (SURVEY.md §2 parallelism table: reads over the
+    # ``data`` axis, index shards over the ``index`` axis).
+    n_data: int = 1
+
+
+def resolve_mesh(n_data: int, n_index: int):
+    """Build the ('data','index') product mesh for a run, or None for
+    the single-device path.  The reference's analog is its thread pool
+    over sample files (`monica/genomes/aligner.py:89-103`); here one
+    read batch is SPMD-sharded over chips instead."""
+    if not n_data or n_data == 1:
+        return None  # single-device path: shards stacked, lax.map merge
+    import jax
+
+    from monica_tpu.parallel import mesh as pm
+
+    n_dev = len(jax.devices())
+    auto = n_data == -1
+    if auto:
+        n_data = max(n_dev // n_index, 1)
+    need = n_data * n_index
+    if need > n_dev or need == 1:
+        if auto:
+            return None  # not enough devices: stacked single-device path
+        raise SystemExit(
+            f"--n_data {n_data} with {n_index} index shards needs "
+            f"{need} devices, but only {n_dev} are available"
+        )
+    return pm.make_mesh(n_data=n_data, n_index=n_index, devices=jax.devices()[:need])
 
 
 def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None = None):
@@ -224,7 +255,10 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
 
     built = merge_built(parts)
     params = pl.ClassifyParams(extend=cfg.extend, band=cfg.band)
-    classifier = rt.Classifier(built, params, count_mode=cfg.alignment_mode)
+    mesh = resolve_mesh(cfg.n_data, len(built.shards))
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    classifier = rt.Classifier(built, params, count_mode=cfg.alignment_mode, mesh=mesh)
 
     focus_units = frozenset("_".join(f.split(" ")) for f in focus)
 
@@ -271,7 +305,10 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
             focus_out = output / "focus"
             focus_out.mkdir(parents=True, exist_ok=True)
             AbundanceState.clear(focus_out)
-            f_clf = rt.Classifier(f_built, params, count_mode=cfg.alignment_mode)
+            f_clf = rt.Classifier(
+                f_built, params, count_mode=cfg.alignment_mode,
+                mesh=resolve_mesh(cfg.n_data, len(f_built.shards)),
+            )
             f_reports = rt.run_once(
                 f_clf, focus_query, focus_out, metrics=metrics, max_batch=cfg.max_batch
             )

@@ -48,7 +48,7 @@ def make_sharded_classifier(
         # every index shard scored this device's reads: gather all
         # shards' hits for the local reads, then merge per read.
         gathered = jax.lax.all_gather(hit, INDEX_AXIS)  # leaves (S, B_local)
-        result = pl.merge_hits(gathered)
+        result = pl.merge_hits(gathered, params.tie_rel_tol)
         counts = pl.count_reads(result, lengths, n_accessions, count_mode)
         # every index-axis device computed the same merged result for its
         # reads; zero all but index rank 0 so a psum over BOTH axes gives

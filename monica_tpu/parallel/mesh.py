@@ -45,9 +45,27 @@ def index_spec() -> P:
 
 
 def shard_reads(mesh: Mesh, codes, lengths):
-    """Place a host read batch onto the mesh, sharded over data."""
+    """Place a host read batch onto the mesh, sharded over data.
+
+    Host-batch contract (multi-host): after ``jax.distributed``
+    initialization the mesh spans every process's devices, and each
+    process passes only its LOCAL rows here — the global batch is the
+    process-order concatenation and every process must pass the same
+    local shape (pad the last batch; the pipeline masks length-0 rows).
+    DCN traffic is therefore zero on the feed path: each host's rows
+    land on its own devices, and only the shard_map collectives
+    (all_gather over ``index``, psum of the small count vector) cross
+    hosts.  Single-process: pass the full batch."""
     s2 = NamedSharding(mesh, P(DATA_AXIS, None))
     s1 = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        codes = np.asarray(codes)
+        lengths = np.asarray(lengths)
+        gb = codes.shape[0] * jax.process_count()
+        return (
+            jax.make_array_from_process_local_data(s2, codes, (gb, codes.shape[1])),
+            jax.make_array_from_process_local_data(s1, lengths, (gb,)),
+        )
     return jax.device_put(codes, s2), jax.device_put(lengths, s1)
 
 

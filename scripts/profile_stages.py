@@ -33,12 +33,11 @@ N_BATCHES = 8
 
 
 def make_reads(seqs, rng, sub=0.05):
-    codes = np.stack(
-        [
-            seqs[rng.integers(0, N_GENOMES)][s : s + READ_LEN]
-            for s in rng.integers(0, GENOME_LEN - READ_LEN, BATCH * N_BATCHES)
-        ]
-    ).astype(np.uint8)
+    rows = []
+    for g in rng.integers(0, len(seqs), BATCH * N_BATCHES):
+        s = rng.integers(0, len(seqs[g]) - READ_LEN)
+        rows.append(seqs[g][s : s + READ_LEN])
+    codes = np.stack(rows).astype(np.uint8)
     m = rng.random(codes.shape) < sub
     codes[m] = rng.integers(0, 4, int(m.sum()))
     return codes.reshape(N_BATCHES, BATCH, READ_LEN)
@@ -57,9 +56,19 @@ def timed(name, fn, *args):
 
 
 def main():
-    built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
-    dev, steps = pl.device_shard(built.shards[0])
+    zymo = "--zymo" in sys.argv
     rng = np.random.default_rng(3)
+    if zymo:
+        # BASELINE.json config-2 scale: ~64 Mbase in 2 shards (bench.py)
+        from monica_tpu.evaluation import zymo_community
+        from monica_tpu.index.build import build_index_from_arrays
+
+        seqs = zymo_community(rng)
+        built = build_index_from_arrays(seqs, n_shards=2)
+        dev, steps = pl.device_shard(built.shards[0])
+    else:
+        built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
+        dev, steps = pl.device_shard(built.shards[0])
     codes = jnp.asarray(make_reads(seqs, rng))
     lengths = jnp.asarray(np.full((N_BATCHES, BATCH), READ_LEN, np.int32))
     params = pl.ClassifyParams(n_slots=128, tag_bits=steps)
@@ -99,12 +108,26 @@ def main():
     # stage 5: full with extension
     f_full = scan_over(lambda c, l: pl.classify_shard(dev, c, l, params).acc_id)
 
-    print(f"device={jax.devices()[0].device_kind} B={BATCH} x {N_BATCHES} L={READ_LEN}")
+    ref_mb = sum(len(s) for s in seqs) / 1e6
+    print(
+        f"device={jax.devices()[0].device_kind} index={ref_mb:.0f}Mbase "
+        f"shards={len(built.shards)} B={BATCH} x {N_BATCHES} L={READ_LEN}"
+    )
+    print("per-shard stages (shard 0):")
     timed("sketch", f_sketch, codes, lengths)
     timed("sketch+lookup", f_lookup, codes, lengths)
     timed("sketch+lookup+chain", f_chain, codes, lengths)
     timed("full (no extend)", f_noext, codes, lengths)
     timed("full (+extend)", f_full, codes, lengths)
+    if len(built.shards) > 1:
+        groups, _ = pl.stack_device_shard_groups(built.shards)
+        f_grouped = scan_over(
+            lambda c, l: pl.classify_batch_grouped(
+                groups, c, l, params, n_acc, pl.MODE_BASIC
+            )[0].status
+        )
+        print("end-to-end (all shards):")
+        timed("full grouped", f_grouped, codes, lengths)
 
 
 if __name__ == "__main__":

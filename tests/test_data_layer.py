@@ -76,6 +76,55 @@ def test_taxonomy_cache_roundtrip(taxonomy, tmp_path):
     assert Taxonomy.cache_fresh(tmp_path)
 
 
+def test_taxonomy_lifecycle_refresh_and_fallback(taxonomy, tmp_path):
+    """Stale cache triggers a TAXDUMP_URL refresh through the injected
+    transport; a failing transport falls back to the stale cache
+    (reference 14-day refresh, fetcher.py:298-307)."""
+    import os
+    import tarfile
+
+    from monica_tpu.data.taxonomy import TAXDUMP_URL
+
+    cache = tmp_path / "taxcache"
+    taxonomy.save(cache)
+    # a fresh cache is returned untouched even with a transport present
+    boom = lambda url, out: (_ for _ in ()).throw(RuntimeError("no network"))
+    assert Taxonomy.ensure(cache, downloader=boom).names[11] == "Escherichia coli"
+
+    # make the cache stale
+    old = time.time() - 30 * 86400
+    os.utime(cache / "taxonomy.npz", (old, old))
+    assert not Taxonomy.cache_fresh(cache)
+
+    # failing transport -> stale cache still served
+    t = Taxonomy.ensure(cache, downloader=boom)
+    assert t is not None and t.names[11] == "Escherichia coli"
+
+    # working transport -> refreshed from the tarball payload
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "nodes.dmp").write_text("1\t|\t1\t|\tr\t|\n5\t|\t1\t|\tr\t|\n")
+    (dump / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "5\t|\tNovus organismus\t|\t\t|\tscientific name\t|\n"
+    )
+    tarball = tmp_path / "taxdump.tar.gz"
+    with tarfile.open(tarball, "w:gz") as tar:
+        tar.add(dump / "nodes.dmp", arcname="nodes.dmp")
+        tar.add(dump / "names.dmp", arcname="names.dmp")
+
+    def dl(url, out):
+        assert url == TAXDUMP_URL
+        import shutil
+
+        shutil.copyfile(tarball, out)
+
+    t2 = Taxonomy.ensure(cache, downloader=dl)
+    assert t2.names[5] == "Novus organismus"
+    assert Taxonomy.cache_fresh(cache)  # refreshed cache persisted
+    assert Taxonomy.load(cache).names[5] == "Novus organismus"
+
+
 def test_tables_importer_and_ttl(tables_dir):
     tdir, dl = tables_dir
     df = tb.importer(tdir, "refseq", dl)

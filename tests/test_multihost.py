@@ -1,0 +1,61 @@
+"""Multi-host correctness on CPU: a real 2-process jax.distributed run
+(VERDICT r2 item 3 / BASELINE "linear to N hosts" axis).
+
+Each subprocess owns 4 virtual CPU devices; the global (data=4,
+index=2) mesh spans both; each process feeds its local rows per the
+host-batch contract (parallel/mesh.py: shard_reads) and the replicated
+psum count vector must equal the single-device golden on BOTH hosts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_distributed_step(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # no TPU claim from the workers
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = str(REPO / "tests" / "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", f"127.0.0.1:{port}", str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    deadline = time.time() + 240
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(deadline - time.time(), 1))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    # both processes computed (and agreed on) the same global counts
+    c0 = (tmp_path / "ok_0").read_text()
+    c1 = (tmp_path / "ok_1").read_text()
+    assert c0 == c1 and c0

@@ -163,3 +163,92 @@ def test_multi_shard_merge_matches_single(small_index):
     both_mapped = (statuses1 == pl.MAPPED) & (statuses2 == pl.MAPPED)
     assert both_mapped.mean() > 0.85
     assert (accs1[both_mapped] == accs2[both_mapped]).all()
+
+
+def test_size_class_grouped_stacking(tmp_path):
+    """Grouped stacking keeps HBM near the sum of shard sizes on a
+    skewed split (one oversized genome next to many small ones) and is
+    classification-equivalent to the flat stacked path (VERDICT r2
+    item 6)."""
+    rng = np.random.default_rng(61)
+    genomes, seqs = [], []
+    sizes = [400_000] + [40_000] * 8
+    for i, n in enumerate(sizes):
+        g = random_genome(rng, n)
+        seqs.append(g)
+        p = tmp_path / f"g{i}.fna.gz"
+        make_fasta_gz(p, [(f"c{i}", g)])
+        genomes.append((str(p), [f"Sp_{i}", f"A{i:03d}.1"]))
+    built = build_index(genomes, n_shards=1, max_shard_bytes=50_000)
+    assert len(built.shards) >= 5  # skewed multi-shard split
+
+    groups, tb = pl.stack_device_shard_groups(built.shards)
+    flat, tb2 = pl.stack_device_shards(built.shards)
+    assert tb == tb2
+    true_sum = sum(
+        sum(np.asarray(a).nbytes for a in pl.device_shard(s)[0])
+        for s in built.shards
+    )
+    grouped_bytes = pl.stacked_nbytes(groups)
+    flat_bytes = pl.stacked_nbytes(flat)
+    assert grouped_bytes <= 1.25 * true_sum, (grouped_bytes, true_sum)
+    assert flat_bytes > 2 * grouped_bytes  # the waste being avoided
+
+    reads, labels = sample_reads(rng, seqs, 24, read_len=800, error=(0.03, 0.02, 0.02))
+    b = bucketize_reads(reads)[0]
+    params = pl.ClassifyParams(tag_bits=tb)
+    n_acc = built.meta.n_accessions
+    rg, cg = pl.classify_batch_grouped(
+        groups, jnp.asarray(b.codes), jnp.asarray(b.lengths), params, n_acc, pl.MODE_BASIC
+    )
+    rf, cf = pl.classify_batch_stacked(
+        flat, jnp.asarray(b.codes), jnp.asarray(b.lengths), params, n_acc, pl.MODE_BASIC
+    )
+    assert np.array_equal(np.asarray(rg.status), np.asarray(rf.status))
+    assert np.array_equal(np.asarray(rg.acc_id), np.asarray(rf.acc_id))
+    assert np.array_equal(np.asarray(cg), np.asarray(cf))
+    mapped = np.asarray(rg.status) == pl.MAPPED
+    assert mapped.mean() > 0.8
+    assert (np.asarray(rg.acc_id)[mapped] == np.asarray(labels)[b.idx][mapped]).all()
+
+
+def test_cross_shard_identical_region_ties_with_extension(tmp_path):
+    """Reads from a region present IDENTICALLY in two genomes that live
+    in DIFFERENT shards must come out AMBIGUOUS with extension enabled
+    — the per-shard rescue budget may refine one side's identity and
+    not the other's, so the merge runs on the vote-statistical cost
+    where identical copies tie exactly (VERDICT r2 weak #6)."""
+    import jax
+
+    rng = np.random.default_rng(71)
+    shared = random_genome(rng, 8_000)
+    genomes, seqs = [], []
+    for i in range(2):
+        g = shared + random_genome(rng, 40_000)
+        seqs.append(g)
+        p = tmp_path / f"g{i}.fna.gz"
+        make_fasta_gz(p, [(f"c{i}", g)])
+        genomes.append((str(p), [f"Tw_{i}", f"T{i:03d}.1"]))
+    built = build_index(genomes, n_shards=2)
+    assert len(built.shards) == 2
+
+    # reads wholly inside the shared block, moderate noise
+    reads, _ = sample_reads(rng, [shared], 24, read_len=1000, error=(0.04, 0.02, 0.02))
+    b = bucketize_reads(reads)[0]
+
+    for mode in ("rescue", "full"):
+        params = pl.ClassifyParams(extend=True, extend_mode=mode)
+        hits = []
+        for sh in built.shards:
+            dev, tb = pl.device_shard(sh)
+            hits.append(
+                pl.classify_shard(
+                    dev, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                    params._replace(tag_bits=tb),
+                )
+            )
+        res = pl.merge_hits(jax.tree.map(lambda *xs: jnp.stack(xs), *hits))
+        status = np.asarray(res.status)
+        # no read may be silently assigned to one of the twins
+        assert not (status == pl.MAPPED).any(), (mode, status)
+        assert (status == pl.AMBIGUOUS).mean() > 0.8, (mode, status)

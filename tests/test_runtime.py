@@ -24,7 +24,9 @@ def classifier(tmp_path_factory):
         make_fasta_gz(p, [(f"c{i}", g)])
         genomes.append((str(p), [f"Species_{i}", f"ACC{i:03d}.1"]))
     built = build_index(genomes, n_shards=2)
-    return rt.Classifier(built, pl.ClassifyParams(n_slots=64), count_mode="basic"), seqs
+    clf = rt.Classifier(built, pl.ClassifyParams(n_slots=64), count_mode="basic")
+    clf.built = built  # handed to tests that construct mesh variants
+    return clf, seqs
 
 
 def test_run_once_routes_counts_and_deletes(classifier, tmp_path):
@@ -74,6 +76,40 @@ def test_run_once_routes_counts_and_deletes(classifier, tmp_path):
     assert raw.index.names == ["tax_unit", "accession"]
 
 
+def test_classifier_mesh_matches_single_device(classifier, tmp_path):
+    """The product-path multi-chip branch: Classifier(mesh=...) through
+    process_sample/run_once must produce bit-identical routing, counts
+    and accumulator state to the single-device stacked path."""
+    from monica_tpu.parallel import mesh as pm
+
+    clf, seqs = classifier
+    mesh = pm.make_mesh(n_data=4, n_index=2)
+    mclf = rt.Classifier(
+        clf.built, pl.ClassifyParams(n_slots=64), count_mode="basic", mesh=mesh,
+    )
+    assert mclf.batch_row_multiple() == 4
+
+    rng = np.random.default_rng(23)
+    reads, labels = sample_reads(rng, seqs, 30, read_len=600, error=(0.03, 0.01, 0.01))
+    outs = {}
+    for name, c in [("single", clf), ("mesh", mclf)]:
+        q = tmp_path / f"q_{name}"
+        out = tmp_path / f"o_{name}"
+        q.mkdir()
+        make_fastq(q / "s1.fastq", reads)
+        reports = rt.run_once(c, q, out, focus_taxa=frozenset({"Species_0"}))
+        state = AbundanceState.load(out, c.meta.n_accessions)
+        outs[name] = (reports[0], state.samples["s1"].copy(),
+                      (q / "mapped" / "s1.fastq").read_bytes())
+    r_s, counts_s, mapped_s = outs["single"]
+    r_m, counts_m, mapped_m = outs["mesh"]
+    assert r_s.n_mapped == r_m.n_mapped >= 25
+    assert (r_s.n_unmapped, r_s.n_ambiguous, r_s.n_focus) == (
+        r_m.n_unmapped, r_m.n_ambiguous, r_m.n_focus)
+    assert np.array_equal(counts_s, counts_m)
+    assert mapped_s == mapped_m
+
+
 def test_watch_stops_after_idle(classifier, tmp_path):
     clf, seqs = classifier
     q = tmp_path / "query"
@@ -81,3 +117,75 @@ def test_watch_stops_after_idle(classifier, tmp_path):
     q.mkdir()
     reports = rt.watch(clf, q, out, poll_s=0.01, max_idle_polls=2)
     assert reports == []
+
+
+def test_ultra_long_read_chunk_and_merge(tmp_path):
+    """A 200 kb read (>> the 32 kb max bucket) is split into windows,
+    classified per window, and merged back to ONE correct whole-read
+    assignment with whole-read count semantics; a chimera whose windows
+    map to different genomes is AMBIGUOUS (VERDICT r2 item 5)."""
+    from monica_tpu.io import encode as enc
+
+    rng = np.random.default_rng(25)
+    tmp = tmp_path / "genomes"
+    tmp.mkdir()
+    genomes, seqs = [], []
+    for i in range(2):
+        g = random_genome(rng, 220_000)
+        seqs.append(g)
+        p = tmp / f"g{i}.fna.gz"
+        make_fasta_gz(p, [(f"c{i}", g)])
+        genomes.append((str(p), [f"Long_{i}", f"LACC{i:03d}.1"]))
+    built = build_index(genomes, n_shards=1)
+    clf = rt.Classifier(built, pl.ClassifyParams(n_slots=64), count_mode="query_length")
+
+    long_read = seqs[0][5_000:205_000]  # 200 kb, genome 0
+    chimera = seqs[0][:40_000] + seqs[1][:40_000]  # half-and-half
+    short = seqs[1][1_000:2_000]
+
+    # window planning: 200 kb -> ceil(200k/32768)=7 windows, shared idx
+    plan = enc.window_plan([len(long_read)])
+    rows = [r for _, batch in plan for r in batch]
+    assert len(rows) == 7 and all(i == 0 for i, _, _ in rows)
+
+    q = tmp_path / "query"
+    out = tmp_path / "out"
+    q.mkdir()
+    make_fastq(q / "s.fastq", [long_read, chimera, short])
+    reports = rt.run_once(clf, q, out)
+    rep = reports[0]
+    assert rep.n_reads == 3
+    assert rep.n_mapped == 2  # long read + short read
+    assert rep.n_ambiguous == 1  # chimera
+
+    # the merged long read counts ONCE with its full length
+    state = AbundanceState.load(out, clf.meta.n_accessions)
+    counts = state.samples["s"]
+    assert counts[0] == len(long_read)  # accession 0
+    assert counts[1] == len(short)
+    # routed outputs: one mapped record is the full-length read
+    mapped = list(seqio.read_fastq(q / "mapped" / "s.fastq"))
+    assert sorted(len(r.seq) for r in mapped) == [1_000, 200_000]
+    assert all(r.id.startswith("Long_") for r in mapped)
+    amb = list(seqio.read_fastq(q / "ambiguous" / "s.fastq"))
+    assert len(amb) == 1 and len(amb[0].seq) == 80_000
+
+
+def test_malformed_sample_is_quarantined(classifier, tmp_path):
+    """A garbage .fastq must not stop the run: it is moved to failed/
+    and the remaining samples still classify (VERDICT r2 item 10)."""
+    clf, seqs = classifier
+    rng = np.random.default_rng(24)
+    q = tmp_path / "query"
+    out = tmp_path / "out"
+    q.mkdir()
+    (q / "bad.fastq").write_text("this is not\na fastq file\n>>>\n")
+    reads, _ = sample_reads(rng, seqs, 10, read_len=600, error=(0.02, 0.01, 0.01))
+    make_fastq(q / "good.fastq", reads)
+
+    reports = rt.watch(clf, q, out, poll_s=0.01, max_idle_polls=1)
+    by = {r.sample: r for r in reports}
+    assert "good" in by and by["good"].n_mapped > 0
+    assert "bad" not in by
+    assert (q / rt.FAILED_DIR / "bad.fastq").exists()
+    assert not (q / "bad.fastq").exists()
