@@ -79,8 +79,13 @@ def main():
         seqs = [rng.integers(0, 4, 1_000_000).astype(np.uint8) for _ in range(5)]
         n_shards = 1
     else:
+        # 64 Mbase fits ONE shard (cap 2^26 bases, ops/lookup.py): a
+        # single hash table means one gather pass, one chain sort and
+        # one extension per read — half the per-read work of a 2-shard
+        # split.  Sharding is for indexes beyond the cap (config 3+)
+        # or for spreading HBM across a mesh.
         seqs = zymo_community(rng)
-        n_shards = 2
+        n_shards = 1
     built = build_index_from_arrays(seqs, n_shards=n_shards)
     groups, steps = pl.stack_device_shard_groups(built.shards)
     build_s = time.time() - t0

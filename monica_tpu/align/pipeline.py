@@ -43,7 +43,7 @@ class DeviceIndexShard(NamedTuple):
     """One index shard as device arrays (pytree)."""
 
     mz_rows: jnp.ndarray  # (2^rbits, ROW_SLOTS) uint32 direct-addressed table
-    pos_acc: jnp.ndarray  # (T,) int32 position -> accession id
+    pos_acc: jnp.ndarray  # (T,) uint16 position -> accession id (2 B/base HBM)
     ref_codes: jnp.ndarray  # (T,) uint8 packed reference
 
 
@@ -54,7 +54,7 @@ def device_shard(shard: IndexShard) -> tuple[DeviceIndexShard, int]:
         mz_rows=jnp.asarray(
             lk.build_hash_rows(shard.mz_hash, shard.mz_pos, shard.mz_strand, tag_bits)
         ),
-        pos_acc=jnp.asarray(shard.pos_accession_id.astype(np.int32)),
+        pos_acc=jnp.asarray(shard.pos_accession_id),
         ref_codes=jnp.asarray(shard.ref_codes),
     )
     return dev, tag_bits
@@ -92,7 +92,7 @@ def stack_device_shards(
             )
         ),
         pos_acc=jnp.asarray(
-            np.stack([pad(s.pos_accession_id.astype(np.int32), T, 0) for s in shards])
+            np.stack([pad(s.pos_accession_id, T, 0) for s in shards])
         ),
         ref_codes=jnp.asarray(np.stack([pad(s.ref_codes, T, 4) for s in shards])),
     )
@@ -174,8 +174,12 @@ class ClassifyParams(NamedTuple):
     # reads keep failing toward unmapped/ambiguous as they should).
     rescue_nm_rate: float = 0.35
     # verified anchors kept per seed (< lookup.ROW_SLOTS compacts the
-    # per-anchor arrays; chain sort cost scales with this)
-    anchors_per_seed: int = 4
+    # per-anchor arrays; chain sort cost scales with this).  2 keeps
+    # n_slots*anchors a power of two (256 -> bitonic sortnet) and costs
+    # <0.2% worst-gated accuracy vs 4 at full concordance size
+    # (CONCORDANCE sweep r3: default 0.9688 vs a2 0.9678, precision
+    # 1.0 both) while halving every per-anchor array.
+    anchors_per_seed: int = 2
     # cross-shard tie tolerance (relative, on the vote-statistical
     # merge cost).  Identical sequence copies in DIFFERENT shards do
     # not produce bit-identical votes — each shard's hash table
@@ -340,8 +344,12 @@ def classify_shard(
         inv_identity = jnp.where(rescued, inv_sc, inv_identity)
         mlen = jnp.where(rescued, mlen_sc, mlen)
 
-    acc_id = index.pos_acc[jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)]
-    acc2 = index.pos_acc[jnp.clip(res.rep2_ref_pos, 0, index.pos_acc.shape[0] - 1)]
+    acc_id = index.pos_acc[
+        jnp.clip(res.rep_ref_pos, 0, index.pos_acc.shape[0] - 1)
+    ].astype(jnp.int32)
+    acc2 = index.pos_acc[
+        jnp.clip(res.rep2_ref_pos, 0, index.pos_acc.shape[0] - 1)
+    ].astype(jnp.int32)
     tied = (
         (res.f2 == res.f1)
         & (res.f1 >= params.min_votes)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from monica_tpu.ops.lookup import INVALID_KEY
+from monica_tpu.ops.sortnet import bitonic_sort_rows
 
 
 class ChainResult(NamedTuple):
@@ -62,7 +63,12 @@ def _pair_votes(skeys, max_run: int):
 def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult:
     """Vote over anchor keys; all inputs (B, A) from lookup_anchors."""
     B, A = key.shape
-    skeys = jnp.sort(key, axis=-1)
+    # bitonic network (static lane permutations + min/max) instead of
+    # lax.sort — the generic comparator sort was the most expensive op
+    # of the whole pipeline at realistic index sizes (ops/sortnet.py)
+    skeys = (
+        bitonic_sort_rows(key) if A & (A - 1) == 0 else jnp.sort(key, axis=-1)
+    )
     valid = skeys != INVALID_KEY
     merged = jnp.where(valid, _pair_votes(skeys, max_run), 0)
 

@@ -69,7 +69,11 @@ def main():
     if args.sweep:
         settings += [
             ("slots64", pl.ClassifyParams(n_slots=64), 1.0),
+            ("slots96", pl.ClassifyParams(n_slots=96), 1.0),
+            ("slots64_a2", pl.ClassifyParams(n_slots=64, anchors_per_seed=2), 1.0),
+            ("slots96_a2", pl.ClassifyParams(n_slots=96, anchors_per_seed=2), 1.0),
             ("frac0.5", pl.ClassifyParams(), 0.5),
+            ("frac0.5_slots64", pl.ClassifyParams(n_slots=64), 0.5),
             ("frac0.25", pl.ClassifyParams(), 0.25),
             ("frac0.25_slots64", pl.ClassifyParams(n_slots=64), 0.25),
         ]
