@@ -63,12 +63,16 @@ def _pair_votes(skeys, max_run: int):
 def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult:
     """Vote over anchor keys; all inputs (B, A) from lookup_anchors."""
     B, A = key.shape
-    # bitonic network (static lane permutations + min/max) instead of
-    # lax.sort — the generic comparator sort was the most expensive op
-    # of the whole pipeline at realistic index sizes (ops/sortnet.py)
-    skeys = (
-        bitonic_sort_rows(key) if A & (A - 1) == 0 else jnp.sort(key, axis=-1)
-    )
+    # TPU: bitonic network (static lane permutations + min/max,
+    # ops/sortnet.py) instead of the generic comparator lax.sort.
+    # CPU: lax.sort — the per-stage lane permutations lower to real
+    # gathers there and the network is ~18x SLOWER (measured), while
+    # highly-optimized std sorting wins.  Backend is fixed per process,
+    # so trace-time selection is sound.
+    import jax as _jax
+
+    use_net = (A & (A - 1) == 0) and _jax.default_backend() != "cpu"
+    skeys = bitonic_sort_rows(key) if use_net else jnp.sort(key, axis=-1)
     valid = skeys != INVALID_KEY
     merged = jnp.where(valid, _pair_votes(skeys, max_run), 0)
 

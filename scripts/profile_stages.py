@@ -64,7 +64,7 @@ def main():
         from monica_tpu.index.build import build_index_from_arrays
 
         seqs = zymo_community(rng)
-        built = build_index_from_arrays(seqs, n_shards=2)
+        built = build_index_from_arrays(seqs, n_shards=1)  # fits 2^26 (bench.py)
         dev, steps = pl.device_shard(built.shards[0])
     else:
         built, seqs = _tiny_index(n_genomes=N_GENOMES, n_shards=1, glen=GENOME_LEN)
@@ -99,7 +99,10 @@ def main():
             dev.mz_rows, qh, qp, qs, qv, tag_bits=params.tag_bits, bucket_len=READ_LEN
         )
         res = ch.chain_votes(key, diag, rpos, fpos)
-        return res.f1 + res.f2 + res.rep_ref_pos
+        # keep EVERY output live: XLA's dead-code pruning of partial
+        # ChainResult outputs triggers a pathological 30x-slower
+        # recompute schedule (measured on CPU)
+        return sum(x.astype(jnp.int32).sum() for x in res)
     f_chain = scan_over(chn)
     # stage 4: full, no extension
     f_noext = scan_over(
@@ -111,12 +114,16 @@ def main():
     ref_mb = sum(len(s) for s in seqs) / 1e6
     print(
         f"device={jax.devices()[0].device_kind} index={ref_mb:.0f}Mbase "
-        f"shards={len(built.shards)} B={BATCH} x {N_BATCHES} L={READ_LEN}"
+        f"shards={len(built.shards)} B={BATCH} x {N_BATCHES} L={READ_LEN}",
+        flush=True,
     )
-    print("per-shard stages (shard 0):")
+    print("per-shard stages (shard 0):", flush=True)
+    quick = "--quick" in sys.argv  # 3 compiles instead of 5 (each jit
+    # variant costs ~10 min of remote compile through the axon tunnel)
     timed("sketch", f_sketch, codes, lengths)
-    timed("sketch+lookup", f_lookup, codes, lengths)
-    timed("sketch+lookup+chain", f_chain, codes, lengths)
+    if not quick:
+        timed("sketch+lookup", f_lookup, codes, lengths)
+        timed("sketch+lookup+chain", f_chain, codes, lengths)
     timed("full (no extend)", f_noext, codes, lengths)
     timed("full (+extend)", f_full, codes, lengths)
     if len(built.shards) > 1:
