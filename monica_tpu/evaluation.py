@@ -156,7 +156,8 @@ def evaluate(
         dev, steps = pl.device_shard(built.shards[0])
         stacked = False
     else:
-        dev, steps = pl.stack_device_shards(built.shards)
+        # grouped stacking = the product path (runtime.Classifier)
+        dev, steps = pl.stack_device_shard_groups(built.shards)
         stacked = True
     params = params._replace(
         tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
@@ -165,7 +166,7 @@ def evaluate(
     res = EvalResult(n_reads=n_reads)
     for s0 in range(0, n_reads, batch):
         sl = slice(s0, min(s0 + batch, n_reads))
-        fn = pl.classify_batch_stacked if stacked else pl.classify_batch
+        fn = pl.classify_batch_grouped if stacked else pl.classify_batch
         out, _ = fn(
             dev,
             jnp.asarray(codes[sl]),

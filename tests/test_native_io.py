@@ -113,3 +113,50 @@ def test_runtime_native_equals_python(tmp_path, monkeypatch):
     assert results["native"][1] == results["python"][1]
     assert results["native"][2] == results["python"][2]
     assert results["native"][3] == results["python"][3]
+
+
+def test_window_plan_edges():
+    from monica_tpu.io import encode as enc
+
+    # short reads: one row each, grouped by bucket
+    plan = enc.window_plan([100, 600, 5000])
+    rows = {i: [] for i in range(3)}
+    for blen, batch in plan:
+        for i, off, w in batch:
+            rows[i].append((blen, off, w))
+    assert rows[0] == [(512, 0, 100)]
+    assert rows[1] == [(1024, 0, 600)]
+    assert rows[2] == [(8192, 0, 5000)]
+
+    # 32768+100: trailing 100 bp window dropped (< MIN_TAIL)
+    plan = enc.window_plan([32768 + 100])
+    all_rows = [r for _, b in plan for r in b]
+    assert all_rows == [(0, 0, 32768)]
+
+    # 32768+300: tail kept, lands in the smallest bucket
+    plan = enc.window_plan([32768 + 300])
+    all_rows = sorted(r for _, b in plan for r in b)
+    assert all_rows == [(0, 0, 32768), (0, 32768, 300)]
+
+    # max_batch splits within a bucket
+    plan = enc.window_plan([500] * 7, max_batch=3)
+    sizes = [len(b) for _, b in plan]
+    assert sizes == [3, 3, 1]
+
+
+def test_concat_records_empty_and_order(tmp_path):
+    import numpy as np
+
+    from monica_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    buf = b"@a x\nACGT\n+\nIIII\n@b\nGG\n+\nII\n@c\nTTT\n+\nIII\n"
+    v = native.parse_fastq_bytes(buf)
+    assert bytes(v.concat_records(np.array([], np.int64))) == b""
+    out = bytes(v.concat_records(np.array([2, 0], np.int64)))
+    assert out == b"@c\nTTT\n+\nIII\n@a x\nACGT\n+\nIIII\n"
+    rid = bytes(v.concat_records_with_id(np.array([0, 1], np.int64), b"Tax_X"))
+    assert rid == b"@Tax_X x\nACGT\n+\nIIII\n@Tax_X\nGG\n+\nII\n"
