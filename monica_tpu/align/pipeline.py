@@ -157,7 +157,13 @@ class ClassifyParams(NamedTuple):
     # alignment instead, so classification is strictly more sensitive
     # than the reference at equal precision).
     extend: bool = True
-    band: int = 128  # band width (lanes; multiple of 128 on TPU)
+    # band width in lanes; multiple of 128 on TPU (the Pallas kernel's
+    # ref window block is W+128 wide and Mosaic wants lane dims at
+    # 128-multiples).  band=64 is accuracy-equivalent (full-size gate
+    # 0.9678, same as 128) but needs a two-reads-per-row kernel layout
+    # to actually halve the cell cost — future work if extension shows
+    # up hot in the profile.
+    band: int = 128
     extend_impl: str = "auto"  # "pallas" | "jnp" | "auto"
     # "full": banded SW on every read (alignment NM/mlen everywhere,
     #   exactly what mappy reports, aligner.py:195).
@@ -415,11 +421,21 @@ def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> Read
     any_pass = n_pass > 0
 
     # tie detection: another passing shard within the near-tie band of
-    # the best cost, or (when nothing passed) any shard reporting an
-    # internal tie
+    # the best cost AND attributing a DIFFERENT accession (segmented
+    # genomes can span shards: equal-cost hits on the same accession
+    # are agreement, not ambiguity — matching the within-shard tie
+    # check, classify_shard's acc2 != acc_id), or (when nothing
+    # passed) any shard reporting an internal tie
     is_best = jnp.arange(S)[:, None] == best_s[None, :]
     band = best_cost * jnp.float32(1.0 + tie_rel_tol) + jnp.float32(1e-6)
-    tie = jnp.any((cost <= band[None, :]) & ~is_best & hits.passed, axis=0)
+    best_acc = take(hits.acc_id)
+    tie = jnp.any(
+        (cost <= band[None, :])
+        & ~is_best
+        & hits.passed
+        & (hits.acc_id != best_acc[None, :]),
+        axis=0,
+    )
     tied_inside = jnp.any(hits.tied, axis=0)
 
     status = jnp.where(

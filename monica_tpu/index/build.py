@@ -36,6 +36,16 @@ from monica_tpu.index import minimizer as mz
 # (ops.lookup).  16 comfortably covers rRNA-operon-grade duplication.
 OCC_CAP = 16
 
+# hard shard-size cap from the packed lookup entry: pos<<1|strand plus
+# >= MIN_TAG_BITS of hash tag must fit 32 bits (ops/lookup.py)
+SHARD_CAP = 1 << 26
+# records longer than this are segmented before packing, so one human
+# chromosome (~250 Mb) no longer jams a shard: each segment carries the
+# same accession id and reads align within one segment (k-mers spanning
+# a cut are lost — ~(k-1)/SEG_LEN of positions, negligible).  The
+# reference reaches the same via minimap2 multi-part indexes.
+SEG_LEN = 1 << 25
+
 
 @dataclass
 class IndexMeta:
@@ -173,16 +183,51 @@ def split_genomes(
 # builder
 # ---------------------------------------------------------------------------
 
+def _segment_records(
+    genome_records: list[list[np.ndarray]],
+) -> list[tuple[int, np.ndarray]]:
+    """Flatten genomes to (accession_id, codes) units, splitting records
+    longer than SEG_LEN so any genome — including multi-hundred-Mb host
+    chromosomes — can be bin-packed under the shard cap."""
+    units: list[tuple[int, np.ndarray]] = []
+    for gi, recs in enumerate(genome_records):
+        for r in recs:
+            r = np.asarray(r, dtype=np.uint8)
+            if len(r) <= SEG_LEN:
+                units.append((gi, r))
+            else:
+                for off in range(0, len(r), SEG_LEN):
+                    units.append((gi, r[off : off + SEG_LEN]))
+    return units
+
+
+def _assign_units(
+    unit_sizes: list[int], n_shards: int | None, max_shard_bytes: int | None
+) -> list[list[int]]:
+    """split_genomes over units with the hard SHARD_CAP enforced: the
+    shard count is bumped until every packed shard fits the cap."""
+    slack = 64 * (len(unit_sizes) + 2)  # guard blocks
+    cap = SHARD_CAP - slack
+    if max_shard_bytes is not None:
+        return split_genomes(unit_sizes, max_shard_bytes=min(max_shard_bytes, cap))
+    n = max(n_shards or 1, 1)
+    while True:
+        assignment = split_genomes(unit_sizes, n_shards=n)
+        if all(sum(unit_sizes[i] for i in m) <= cap for m in assignment if m):
+            return [m for m in assignment if m]
+        n += 1
+
+
 def _build_shard(
     members: list[int],
-    genome_records: list[list[np.ndarray]],
+    units: list[tuple[int, np.ndarray]],
     k: int,
     w: int,
     guard: int,
     frac: float,
     occ_cap: int = OCC_CAP,
 ) -> IndexShard:
-    """Pack the member genomes' records, sketch, sort, attribute.
+    """Pack the member units, sketch, sort, attribute.
 
     Shared by :func:`build_index` and :func:`build_index_from_arrays`
     so the shard construction recipe (chunked sketch, stable hash sort,
@@ -190,11 +235,11 @@ def _build_shard(
     two paths.
     """
     builder = enc.PackedSeqsBuilder(guard=guard)
-    for gi in members:
-        for rec_codes in genome_records[gi]:
-            builder.add(np.asarray(rec_codes, dtype=np.uint8), gi)
+    for ui in members:
+        gi, rec_codes = units[ui]
+        builder.add(rec_codes, gi)
     packed = builder.build()
-    if len(packed.codes) >= 2**26:
+    if len(packed.codes) >= SHARD_CAP:
         raise ValueError(
             "index shard exceeds 64 Mbase; raise n_shards or lower "
             "max_shard_bytes (packed lookup entries need >= 5 tag bits, "
@@ -245,23 +290,20 @@ def build_index(
     genome_lengths = np.zeros(len(genomes), dtype=np.int64)
 
     # accession-id = position in the genomes list
-    sizes = []
     all_codes: list[list[np.ndarray]] = []
     for gi, (path, _hdr) in enumerate(genomes):
         recs = [enc.encode_seq(r.seq) for r in seqio.read_fasta(path)]
         all_codes.append(recs)
-        total = int(sum(len(r) for r in recs))
-        genome_lengths[gi] = total
-        sizes.append(total)
+        genome_lengths[gi] = int(sum(len(r) for r in recs))
 
-    assignment = split_genomes(
-        sizes,
-        n_shards=n_shards if max_shard_bytes is None else None,
-        max_shard_bytes=max_shard_bytes,
+    units = _segment_records(all_codes)
+    assignment = _assign_units(
+        [len(u[1]) for u in units],
+        n_shards if max_shard_bytes is None else None,
+        max_shard_bytes,
     )
-
     shards = [
-        _build_shard(members, all_codes, k, w, guard, frac, occ_cap)
+        _build_shard(members, units, k, w, guard, frac, occ_cap)
         for members in assignment
     ]
 
@@ -296,14 +338,14 @@ def build_index_from_arrays(
     tax_units = tax_units or [f"Species_{i}" for i in range(n)]
     accessions = accessions or [f"ACC{i:04d}.1" for i in range(n)]
     genome_lengths = np.array([len(s) for s in seqs], dtype=np.int64)
-    assignment = split_genomes(
-        [len(s) for s in seqs],
-        n_shards=n_shards if max_shard_bytes is None else None,
-        max_shard_bytes=max_shard_bytes,
+    units = _segment_records([[np.asarray(s, dtype=np.uint8)] for s in seqs])
+    assignment = _assign_units(
+        [len(u[1]) for u in units],
+        n_shards if max_shard_bytes is None else None,
+        max_shard_bytes,
     )
-    records = [[np.asarray(s, dtype=np.uint8)] for s in seqs]
     shards = [
-        _build_shard(members, records, k, w, guard, frac, occ_cap)
+        _build_shard(members, units, k, w, guard, frac, occ_cap)
         for members in assignment
     ]
     meta = IndexMeta(

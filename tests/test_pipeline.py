@@ -252,3 +252,46 @@ def test_cross_shard_identical_region_ties_with_extension(tmp_path):
         # no read may be silently assigned to one of the twins
         assert not (status == pl.MAPPED).any(), (mode, status)
         assert (status == pl.AMBIGUOUS).mean() > 0.8, (mode, status)
+
+
+def test_giant_record_segmented_across_shards(monkeypatch):
+    """A single record larger than the shard cap (host chromosomes) is
+    segmented into units, packed across shards, and its reads still
+    classify MAPPED to the one accession — same-accession cross-shard
+    near-ties are agreement, not ambiguity."""
+    import jax
+
+    from monica_tpu.index import build as ib
+
+    monkeypatch.setattr(ib, "SEG_LEN", 40_000)
+    monkeypatch.setattr(ib, "SHARD_CAP", 120_000)
+
+    rng = np.random.default_rng(81)
+    big = rng.integers(0, 4, 150_000).astype(np.uint8)  # 4 segments
+    small = rng.integers(0, 4, 30_000).astype(np.uint8)
+    built = ib.build_index_from_arrays(
+        [big, small], tax_units=["Big_one", "Small_one"],
+        accessions=["BIG.1", "SML.1"], n_shards=1,
+    )
+    assert len(built.shards) >= 2  # cap forced a split
+    with_big = sum(1 for sh in built.shards if (sh.seq_accession_id == 0).any())
+    assert with_big >= 2  # accession 0 spans shards
+
+    reads = []
+    labels = []
+    for start in (5_000, 45_000, 85_000, 125_000):  # one per segment
+        reads.append("".join("ACGT"[c] for c in big[start : start + 800]))
+        labels.append(0)
+    reads.append("".join("ACGT"[c] for c in small[2_000 : 2_800]))
+    labels.append(1)
+
+    b = bucketize_reads(reads)[0]
+    groups, tb = pl.stack_device_shard_groups(built.shards)
+    res, counts = pl.classify_batch_grouped(
+        groups, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+        pl.ClassifyParams(tag_bits=tb), built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    status = np.asarray(res.status)[np.argsort(b.idx)]
+    accs = np.asarray(res.acc_id)[np.argsort(b.idx)]
+    assert (status == pl.MAPPED).all(), status
+    assert (accs == np.asarray(labels)).all(), accs
