@@ -61,6 +61,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="config-1 workload (5 x 1 Mb, 1 shard) as in BENCH_r01/r02")
+    ap.add_argument("--no-extend", dest="extend", action="store_false",
+                    help="A/B: vote-only pipeline (attributes the extension stage cost)")
     args = ap.parse_args()
 
     from monica_tpu.utils.jaxcache import enable_compilation_cache
@@ -94,7 +96,9 @@ def main():
     codes = codes.reshape(N_BATCHES, BATCH, READ_LEN)
     lengths = np.full((N_BATCHES, BATCH), READ_LEN, np.int32)
 
-    params = pl.ClassifyParams(n_slots=128, tag_bits=steps)
+    params = pl.params_for_bucket(
+        pl.ClassifyParams(tag_bits=steps, extend=args.extend), READ_LEN
+    )
     n_acc = built.meta.n_accessions
 
     @jax.jit

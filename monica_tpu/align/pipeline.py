@@ -157,13 +157,13 @@ class ClassifyParams(NamedTuple):
     # alignment instead, so classification is strictly more sensitive
     # than the reference at equal precision).
     extend: bool = True
-    # band width in lanes; multiple of 128 on TPU (the Pallas kernel's
-    # ref window block is W+128 wide and Mosaic wants lane dims at
-    # 128-multiples).  band=64 is accuracy-equivalent (full-size gate
-    # 0.9678, same as 128) but needs a two-reads-per-row kernel layout
-    # to actually halve the cell cost — future work if extension shows
-    # up hot in the profile.
-    band: int = 128
+    # band width in lanes.  64 is accuracy-equivalent to 128 (full-size
+    # gate 0.9678 for both: nanopore indels are 1-3 bp, the chained
+    # diagonal rarely drifts +/-32 in a read) and at <= 64 the Pallas
+    # path packs TWO reads per 128-lane row (ops/extend.py
+    # banded_sw_pairs, parity-interleaved bands) — half the SW cell
+    # cost per read at full lane utilization.
+    band: int = 64
     extend_impl: str = "auto"  # "pallas" | "jnp" | "auto"
     # "full": banded SW on every read (alignment NM/mlen everywhere,
     #   exactly what mappy reports, aligner.py:195).
@@ -223,6 +223,20 @@ class ShardHit(NamedTuple):
     tied: jnp.ndarray  # (B,) bool equal-strength locus on a DIFFERENT
     # accession (the reference's best_hit exact tie -> ambiguous,
     # aligner.py:328-339)
+
+
+def params_for_bucket(params: ClassifyParams, bucket_len: int) -> ClassifyParams:
+    """Per-bucket seed budget: short reads keep every minimizer they
+    have (a 300 bp read has ~55 — dropping any costs sensitivity, the
+    slots64 sweep row fails the gate at 300 bp only), while long reads
+    are heavily oversampled at 128 slots (64 slots at 1000/5000 bp
+    scores 0.998/1.0 in the same sweep).  Halving the slot budget for
+    buckets > 512 halves the lookup gather count and every chain-stage
+    array for the dominant read lengths.  jit specializes per (bucket,
+    params) pair anyway, so this adds no extra compilations."""
+    if bucket_len > 512 and params.n_slots > 64:
+        return params._replace(n_slots=64)
+    return params
 
 
 def sketch_batch(codes, lengths, params: ClassifyParams):

@@ -128,29 +128,38 @@ class Classifier:
                     f"index has {len(built.shards)} shards but mesh index axis is {n_index}"
                 )
             self.index = pm.shard_index(mesh, stacked)
-            self._step = dist.make_sharded_classifier(
-                mesh, self.params, self.meta.n_accessions, self.count_mode
-            )
+            self._steps = {}  # per-bucket-params sharded steps
             self._data_mult = mesh.shape[pm.DATA_AXIS]
+
+    def _mesh_step(self, params):
+        key = params.n_slots
+        if key not in self._steps:
+            from monica_tpu.parallel import dist
+
+            self._steps[key] = dist.make_sharded_classifier(
+                self.mesh, params, self.meta.n_accessions, self.count_mode
+            )
+        return self._steps[key]
 
     def classify(self, codes: np.ndarray, lengths: np.ndarray):
         """Dispatch one padded batch; returns device (ReadResult, counts)
         WITHOUT blocking (async dispatch = free double buffering)."""
         import jax.numpy as jnp
 
+        params = pl.params_for_bucket(self.params, codes.shape[1])
         if self.mesh is None:
             return pl.classify_batch_grouped(
                 self.index,
                 jnp.asarray(codes),
                 jnp.asarray(lengths),
-                self.params,
+                params,
                 self.meta.n_accessions,
                 self.count_mode,
             )
         from monica_tpu.parallel import mesh as pm
 
         dcodes, dlens = pm.shard_reads(self.mesh, codes, lengths)
-        return self._step(self.index, dcodes, dlens)
+        return self._mesh_step(params)(self.index, dcodes, dlens)
 
     def batch_row_multiple(self) -> int:
         return getattr(self, "_data_mult", 1)

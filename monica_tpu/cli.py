@@ -65,7 +65,7 @@ def _common_parser() -> argparse.ArgumentParser:
     al.add_argument("--extend", action=argparse.BooleanOptionalAction, default=True,
                     help="banded Smith-Waterman refinement + low-seed rescue "
                          "(Pallas kernel; --no-extend for the seed-vote-only fast path)")
-    al.add_argument("--band", type=int, default=128, help="extension band width")
+    al.add_argument("--band", type=int, default=64, help="extension band width (<=64 uses the two-reads-per-row kernel)")
     al.add_argument("--frac", type=float, default=1.0,
                     help="scaled-winnowing fraction (0<f<=1): subsample "
                          "minimizers on BOTH index and query sides; validated "

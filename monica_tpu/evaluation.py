@@ -162,6 +162,8 @@ def evaluate(
     params = params._replace(
         tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
     )
+    # mirror the product's per-bucket seed budget (runtime.Classifier)
+    params = pl.params_for_bucket(params, read_len)
 
     res = EvalResult(n_reads=n_reads)
     for s0 in range(0, n_reads, batch):

@@ -320,31 +320,32 @@ def _sw_kernel_packed(q_ref, r_ref, len_ref, out_ref, p_ref, best_ref,
     @pl.when(l == 0)
     def _():
         p_ref[...] = jnp.zeros((BT, W), jnp.int32)
-        best_ref[...] = jnp.zeros((BT, 1), jnp.int32)
+        best_ref[...] = jnp.zeros((BT, W), jnp.int32)
 
     lane_gp = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) * (p.gap << mbits)
-    lengths = len_ref[...]  # (BT, 1)
     qblk = q_ref[...].astype(jnp.int32)  # (BT, ROWS)
     rbuf = r_ref[...].astype(jnp.int32)  # (BT, W + ROWS)
-    row0 = l * ROWS
 
     def body(j, _):
         qcol = pltpu.roll(qblk, -j, 1)[:, :1]
         rrow = pltpu.roll(rbuf, -j, 1)[:, :W]
         P = _row_update_packed(p_ref[...], qcol, rrow, lane_gp, p, mbits)
         p_ref[...] = P
-        active = (row0 + j) < lengths  # (BT, 1)
-        rb = jnp.max(P, axis=-1, keepdims=True)
-        best_ref[...] = jnp.where(
-            active, jnp.maximum(rb, best_ref[...]), best_ref[...]
-        )
+        # lazy best: per-LANE max accumulator (one VPU op per row); the
+        # global max over all (row, lane) cells is reduced once at the
+        # end — replacing the per-row W-lane max reduction, which was
+        # ~half the row cost.  Exact, including rows past each read's
+        # length: beyond the end every update subtracts a positive
+        # penalty (or floors at 0 <= max), so no cell can exceed the
+        # pre-end maximum, and PAD query bases never match.
+        best_ref[...] = jnp.maximum(best_ref[...], P)
         return 0
 
     jax.lax.fori_loop(0, ROWS, body, 0)
 
     @pl.when(l == n_blocks - 1)
     def _():
-        b = best_ref[...]
+        b = jnp.max(best_ref[...], axis=-1, keepdims=True)
         out_ref[...] = jnp.concatenate(
             [b >> mbits, b & ((1 << mbits) - 1)], axis=1
         )
@@ -392,7 +393,7 @@ def banded_sw_pallas(q, refwin, lengths, p: ExtendParams, block_reads: int = 128
         )
         scratch = [
             pltpu.VMEM((BT, W), jnp.int32),
-            pltpu.VMEM((BT, 1), jnp.int32),
+            pltpu.VMEM((BT, W), jnp.int32),  # per-lane lazy best
         ]
     else:
         kernel = functools.partial(_sw_kernel, p=p, n_blocks=NB)
@@ -420,11 +421,157 @@ def banded_sw_pallas(q, refwin, lengths, p: ExtendParams, block_reads: int = 128
     return out[:B, 0], out[:B, 1]
 
 
+def _row_update_packed_pairs(P, qcol, rrow, lane_gp, p: ExtendParams,
+                             mbits: int, reach: int):
+    """Packed row update on PARITY-INTERLEAVED state: lane 2d = read A
+    band-position d, lane 2d+1 = read B.  Band shifts become even lane
+    shifts, which preserve parity — the two reads can never leak into
+    each other, so no boundary masks are needed."""
+    one = jnp.int32(1)
+    scale = jnp.int32(1 << mbits)
+    is_match = (qcol == rrow) & (qcol < 4)
+    cand_d = P + jnp.where(is_match, p.match * scale + one, -p.mismatch * scale)
+    floor2 = jnp.full_like(P[..., :2], NEG)
+    cand_u = jnp.concatenate([P[..., 2:], floor2], axis=-1) - p.gap * scale
+    t = jnp.maximum(cand_u, cand_d)
+    t = jnp.maximum(t, 0)
+    u = t + lane_gp
+    s = 1
+    while s < reach:
+        pu = jnp.concatenate(
+            [jnp.full_like(u[..., : 2 * s], NEG), u[..., : -2 * s]], axis=-1
+        )
+        u = jnp.maximum(pu, u)
+        s *= 2
+    return jnp.maximum(u - lane_gp, t)
+
+
+def _sw_kernel_pairs(q_ref, r_ref, out_ref, p_ref, best_ref,
+                     p: ExtendParams, n_blocks: int, mbits: int, reach: int):
+    """Two reads per 128-lane row (band W <= 64): read pair (A, B)
+    interleaved by lane parity.  Same packed DP as _sw_kernel_packed
+    with even shifts and a lazy per-lane best."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BT2, lanes = p_ref.shape  # lanes = 2 * W
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        p_ref[...] = jnp.zeros((BT2, lanes), jnp.int32)
+        best_ref[...] = jnp.zeros((BT2, lanes), jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    even = (lane & 1) == 0
+    lane_gp = (lane >> 1) * (p.gap << mbits)
+    qblk = q_ref[...].astype(jnp.int32)  # (BT2, 2*ROWS) interleaved
+    rbuf = r_ref[...].astype(jnp.int32)  # (BT2, 2*(ROWS+W)) interleaved
+
+    def body(j, _):
+        q2 = pltpu.roll(qblk, -2 * j, 1)[:, :2]
+        qcol = jnp.where(even, q2[:, :1], q2[:, 1:2])
+        rrow = pltpu.roll(rbuf, -2 * j, 1)[:, :lanes]
+        P = _row_update_packed_pairs(
+            p_ref[...], qcol, rrow, lane_gp, p, mbits, reach
+        )
+        p_ref[...] = P
+        best_ref[...] = jnp.maximum(best_ref[...], P)
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, body, 0)
+
+    @pl.when(l == n_blocks - 1)
+    def _():
+        b = best_ref[...]
+        neg = jnp.int32(NEG)
+        bA = jnp.max(jnp.where(even, b, neg), axis=-1, keepdims=True)
+        bB = jnp.max(jnp.where(even, neg, b), axis=-1, keepdims=True)
+        out_ref[...] = jnp.concatenate([bA, bB], axis=1)
+
+
+def _interleave_pairs(a, b):
+    """(B2, N), (B2, N) -> (B2, 2N) lane-interleaved [a0 b0 a1 b1 ...]."""
+    B2, N = a.shape
+    return jnp.stack([a, b], axis=-1).reshape(B2, 2 * N)
+
+
+def banded_sw_pairs(q, refwin, lengths, p: ExtendParams, block_pairs: int = 128,
+                    interpret: bool | None = None):
+    """Pallas banded SW at W <= 64 with TWO reads per 128-lane row —
+    half the band width at full lane utilization, so the cell cost per
+    read halves vs the W=128 kernel (the concordance gate holds at
+    band 64: 0.9678 worst-gated, same as 128)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = q.shape
+    W = p.band
+    assert W <= 64, "pairs kernel packs two bands into 128 lanes"
+    mbits = packed_mbits(L, p)
+    assert mbits, "pairs kernel requires the packed DP (reads <= ~16 kb)"
+    BT2 = block_pairs
+    padB = -(-B // (2 * BT2)) * (2 * BT2)
+    padL = -(-L // ROWS) * ROWS
+    if padB != B or padL != L:
+        q = jnp.pad(q, ((0, padB - B), (0, padL - L)), constant_values=4)
+        refwin = jnp.pad(
+            refwin, ((0, padB - B), (0, (padL + W) - refwin.shape[1])),
+            constant_values=4,
+        )
+    Bp, Lp = q.shape
+    B2 = Bp // 2
+    NB = Lp // ROWS
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    q3 = q.reshape(B2, 2, Lp)
+    qi = _interleave_pairs(q3[:, 0], q3[:, 1])  # (B2, 2*Lp)
+    r3 = refwin.reshape(B2, 2, Lp + W)
+    tiles = [
+        _interleave_pairs(
+            r3[:, 0, i * ROWS : i * ROWS + ROWS + W],
+            r3[:, 1, i * ROWS : i * ROWS + ROWS + W],
+        )
+        for i in range(NB)
+    ]
+    rt = jnp.concatenate(tiles, axis=1)  # (B2, NB * 2*(ROWS+W))
+
+    reach = _gap_reach(W, p.max_gap)
+    kernel = functools.partial(
+        _sw_kernel_pairs, p=p, n_blocks=NB, mbits=mbits, reach=reach
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B2 // BT2, NB),
+        in_specs=[
+            pl.BlockSpec((BT2, 2 * ROWS), lambda b, l: (b, l)),
+            pl.BlockSpec((BT2, 2 * (ROWS + W)), lambda b, l: (b, l)),
+        ],
+        out_specs=pl.BlockSpec((BT2, 2), lambda b, l: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B2, 2), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BT2, 2 * W), jnp.int32),
+            pltpu.VMEM((BT2, 2 * W), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * Bp * Lp * W, bytes_accessed=Bp * (2 * Lp + W),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, rt)
+    packed = out.reshape(Bp)[:B]
+    return packed >> mbits, packed & ((1 << mbits) - 1)
+
+
 def banded_sw(q, refwin, lengths, p: ExtendParams, impl: str = "auto"):
-    """Dispatch: Pallas on TPU, jnp elsewhere (same math)."""
+    """Dispatch: Pallas on TPU (pairs kernel when the band fits two
+    reads per row), jnp elsewhere (same math)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "pallas":
+        if p.band <= 64 and packed_mbits(q.shape[1], p):
+            return banded_sw_pairs(q, refwin, lengths, p)
         return banded_sw_pallas(q, refwin, lengths, p)
     return banded_sw_jnp(q, refwin, lengths, p)
 

@@ -169,7 +169,7 @@ class AnalysisConfig:
     w: int = 10
     frac: float = 1.0  # scaled-winnowing fraction (index + query side)
     extend: bool = True
-    band: int = 128
+    band: int = 64
     reads_threshold: float = 0.0
     show_legend: bool = True
     auto_open: bool = False

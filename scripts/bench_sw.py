@@ -23,7 +23,8 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    W = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 64  # production default
+    # (<= 64 engages the two-reads-per-row pairs kernel, ops/extend.py)
 
     rng = np.random.default_rng(0)
     ref = rng.integers(0, 4, 4_000_000).astype(np.uint8)
@@ -36,7 +37,7 @@ def main():
     p = ex.ExtendParams(band=W)
     refwin = ex.extract_ref_windows(jnp.asarray(ref), jnp.asarray(starts.astype(np.int32)), L, W)
 
-    fn = jax.jit(lambda q, r, l: ex.banded_sw_pallas(q, r, l, p))
+    fn = jax.jit(lambda q, r, l: ex.banded_sw(q, r, l, p, impl="pallas"))
     qd, ld = jnp.asarray(q), jnp.asarray(lengths)
     s, ml = fn(qd, refwin, ld)
     np.asarray(s)  # compile + sync

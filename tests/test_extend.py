@@ -123,3 +123,30 @@ def test_extend_hits_identity_perfect_vs_noisy():
     assert inv[0] == 0.0  # perfect read: NM = 0
     assert inv[1] > 0.05  # 10% substitutions detected
     assert int(res.mlen[0]) == L
+
+
+@pytest.mark.parametrize("B,L", [(7, 300), (16, 1000)])
+def test_pairs_kernel_matches_jnp(B, L):
+    """Two-reads-per-row kernel (band<=64, parity-interleaved) computes
+    the exact packed-DP result, including odd batch sizes and short
+    reads."""
+    rng = np.random.default_rng(5)
+    W = 64
+    p = ex.ExtendParams(band=W)
+    ref = rng.integers(0, 4, 50_000).astype(np.uint8)
+    starts = rng.integers(0, len(ref) - L - W, B)
+    q = np.stack([ref[s : s + L] for s in starts])
+    m = rng.random(q.shape) < 0.1
+    q[m] = rng.integers(0, 4, int(m.sum()))
+    lengths = np.full(B, L, np.int32)
+    lengths[0] = L // 3
+    q[0, L // 3 :] = 4
+    refwin = ex.extract_ref_windows(
+        jnp.asarray(ref), jnp.asarray(starts.astype(np.int32)), L, W
+    )
+    s1, m1 = ex.banded_sw_jnp(jnp.asarray(q), refwin, jnp.asarray(lengths), p)
+    s2, m2 = ex.banded_sw_pairs(
+        jnp.asarray(q), refwin, jnp.asarray(lengths), p, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
