@@ -527,7 +527,14 @@ def classify_batch_grouped(
 ):
     """Single-device multi-shard step over size-class groups
     (stack_device_shard_groups): one lax.map per group, hits
-    concatenated along the shard axis, then the usual merge."""
+    concatenated along the shard axis, then the usual merge.
+
+    A single-shard index should NOT go through here: use
+    ``classify_batch`` on the unstacked shard (Classifier does).  Both
+    in-jit squeezes of the stacked operand and 1-iteration lax.map
+    measurably pessimize the XLA schedule on TPU (the scan
+    dynamic-slices hundreds of MB of index per step; in-body squeezes
+    are not reliably hoisted) — squeeze at setup time, outside jit."""
     sk = sketch_batch(codes, lengths, params)
     hits = [
         jax.lax.map(

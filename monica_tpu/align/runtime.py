@@ -106,13 +106,21 @@ class Classifier:
         self.count_mode = pl.COUNT_MODES[count_mode]
         self.mesh = mesh
         if mesh is None:
-            # size-class grouped stacking: one skewed shard does not pad
-            # the rest (pipeline.stack_device_shard_groups)
-            groups, steps = pl.stack_device_shard_groups(built.shards)
+            if len(built.shards) == 1:
+                # single-shard fast path: unstacked index through
+                # classify_batch — no lax.map, no merge stage (measured
+                # ~1.5x end-to-end on a 64 Mbase 1-shard index: a
+                # 1-iteration lax.map pessimizes the XLA schedule)
+                dev, steps = pl.device_shard(built.shards[0])
+                self.index = dev
+            else:
+                # size-class grouped stacking: one skewed shard does not
+                # pad the rest (pipeline.stack_device_shard_groups)
+                groups, steps = pl.stack_device_shard_groups(built.shards)
+                self.index = groups
             self.params = params._replace(
                 tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
             )
-            self.index = groups
             self._step = None
         else:
             stacked, steps = pl.stack_device_shards(built.shards)
@@ -148,7 +156,12 @@ class Classifier:
 
         params = pl.params_for_bucket(self.params, codes.shape[1])
         if self.mesh is None:
-            return pl.classify_batch_grouped(
+            step = (
+                pl.classify_batch
+                if isinstance(self.index, pl.DeviceIndexShard)
+                else pl.classify_batch_grouped
+            )
+            return step(
                 self.index,
                 jnp.asarray(codes),
                 jnp.asarray(lengths),

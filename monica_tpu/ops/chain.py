@@ -60,8 +60,18 @@ def _pair_votes(skeys, max_run: int):
     return merged
 
 
-def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 128) -> ChainResult:
-    """Vote over anchor keys; all inputs (B, A) from lookup_anchors."""
+def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 64) -> ChainResult:
+    """Vote over anchor keys; all inputs (B, A) from lookup_anchors.
+
+    ``max_run`` caps the counted stretch (and the _pair_votes pass
+    count, the chain stage's main VPU cost).  64 saturates every vote
+    a read can cast: the per-bucket seed budget keeps valid seeds per
+    read <= 64 beyond the 512 bp bucket (pipeline.params_for_bucket)
+    and nanopore 300 bp reads carry ~55 minimizers, so a single locus
+    collecting > 64 votes needs most anchors duplicated at one
+    diagonal (a tandem repeat) — where saturating f1 changes nothing:
+    identity frac is already clipped at 1 and mapq's log term is far
+    past its cap."""
     B, A = key.shape
     # TPU: bitonic network (static lane permutations + min/max,
     # ops/sortnet.py) instead of the generic comparator lax.sort.

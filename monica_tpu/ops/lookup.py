@@ -143,10 +143,22 @@ def lookup_anchors(
     if anchors_per_seed and anchors_per_seed < ROW_SLOTS:
         # verified-hits-first compaction: zero out non-hits, sort the
         # row descending (valid entries are nonzero, invalid exactly 0),
-        # keep the first A slots.  One tiny-axis sort, then every
-        # derived array below is A/ROW_SLOTS the size.
+        # keep the first A slots — then every derived array below is
+        # A/ROW_SLOTS the size.  The sort is a group-wise bitonic
+        # network over the flattened (S*ROW_SLOTS) axis: lax.sort on an
+        # 8-wide minor axis wastes the 128-lane VPU, the network is six
+        # static lane permutations at full width.
+        from monica_tpu.ops.sortnet import bitonic_sort_rows
+
         masked = jnp.where(hit_ok, e, jnp.uint32(0))
-        masked = jnp.flip(jnp.sort(masked, axis=-1), axis=-1)
+        if jax.default_backend() == "cpu":
+            # CPU: the network's lane permutations lower to real
+            # gathers and lose to std sort (same trade as ops/chain.py)
+            masked = jnp.flip(jnp.sort(masked, axis=-1), axis=-1)
+        else:
+            masked = bitonic_sort_rows(
+                masked.reshape(B, S * ROW_SLOTS), group=ROW_SLOTS, descending=True
+            ).reshape(B, S, ROW_SLOTS)
         e = masked[..., :anchors_per_seed]
         ps = (e & jnp.uint32((1 << payload_bits) - 1)).astype(jnp.int32)
         hit_ok = e != 0

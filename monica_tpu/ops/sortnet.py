@@ -19,22 +19,42 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def bitonic_sort_rows(x: jnp.ndarray) -> jnp.ndarray:
+def bitonic_sort_rows(
+    x: jnp.ndarray, group: int | None = None, descending: bool = False
+) -> jnp.ndarray:
     """Sort the last axis ascending; its length must be a power of two.
 
     Equivalent to ``jnp.sort(x, axis=-1)`` for any dtype with total
     order under min/max (int32 keys here).
+
+    ``group=g`` (a power of two dividing the width) sorts each aligned
+    g-element group independently — one wide-lane network instead of a
+    tiny-minor-axis sort: because groups are g-aligned and every
+    exchange distance j < g, the partner permutation ``idx ^ j`` never
+    crosses a group boundary, so the full-width network truncated at
+    k=g IS the per-group sort.  Used by ops.lookup to compact 8-slot
+    hash rows without lax.sort on an 8-wide minor axis.
     """
     A = x.shape[-1]
     assert A & (A - 1) == 0, f"row width {A} not a power of two"
+    g = group or A
+    assert g & (g - 1) == 0 and A % g == 0, f"bad group {g} for width {A}"
     idx = np.arange(A)
     k = 2
-    while k <= A:
+    while k <= g:
+        # intermediate stages alternate direction on bit k (the classic
+        # network, building bitonic 2k-blocks); the FINAL stage k=g must
+        # merge every group in the same direction — with g=A that is
+        # what (idx & A)==0 already says, with g<A it must be forced or
+        # odd groups come out reversed.
+        up = (idx & k) == 0 if k < g else np.ones(A, bool)
+        if descending:
+            up = ~up
         j = k >> 1
         while j:
             partner = idx ^ j
             y = x[..., partner]
-            keep_min = jnp.asarray((idx & k) == 0) == jnp.asarray(idx < partner)
+            keep_min = jnp.asarray(up == (idx < partner))
             x = jnp.where(keep_min, jnp.minimum(x, y), jnp.maximum(x, y))
             j >>= 1
         k <<= 1

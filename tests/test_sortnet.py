@@ -24,3 +24,23 @@ def test_duplicates_and_sentinels():
 def test_rejects_non_power_of_two():
     with pytest.raises(AssertionError):
         bitonic_sort_rows(jnp.zeros((2, 12), jnp.int32))
+
+
+@pytest.mark.parametrize("group,desc", [(8, True), (8, False), (16, True)])
+def test_groupwise_sort(group, desc):
+    """Group-wise network == independent per-group sorts (ops.lookup
+    compacts 8-slot hash rows with group=8, descending)."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 2**32, (6, 128), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(bitonic_sort_rows(jnp.asarray(x), group=group, descending=desc))
+    ref = np.sort(x.reshape(6, -1, group), axis=-1)
+    if desc:
+        ref = ref[..., ::-1]
+    assert np.array_equal(got, ref.reshape(6, 128))
+
+
+def test_full_width_descending():
+    rng = np.random.default_rng(12)
+    x = rng.integers(-(2**31), 2**31 - 1, (5, 64)).astype(np.int32)
+    got = np.asarray(bitonic_sort_rows(jnp.asarray(x), descending=True))
+    assert np.array_equal(got, np.sort(x, axis=-1)[..., ::-1])
