@@ -468,18 +468,27 @@ def _sw_kernel_pairs(q_ref, r_ref, out_ref, p_ref, best_ref,
     qblk = q_ref[...].astype(jnp.int32)  # (BT2, 2*ROWS) interleaved
     rbuf = r_ref[...].astype(jnp.int32)  # (BT2, 2*(ROWS+W)) interleaved
 
-    def body(j, _):
-        q2 = pltpu.roll(qblk, -2 * j, 1)[:, :2]
-        qcol = jnp.where(even, q2[:, :1], q2[:, 1:2])
-        rrow = pltpu.roll(rbuf, -2 * j, 1)[:, :lanes]
+    # Roll the loaded blocks by a CONSTANT -2 per row, carrying them
+    # through the loop, instead of rolling the original block by a
+    # computed -2*j: tpu.dynamic_rotate with the multiplied loop index
+    # silently produces wrong data on real hardware (scores collapse
+    # to noise; interpret mode agrees with the jnp oracle either way).
+    def body(j, carry):
+        qb, rb = carry
+        qcol = jnp.where(even, qb[:, :1], qb[:, 1:2])
+        rrow = rb[:, :lanes]
         P = _row_update_packed_pairs(
             p_ref[...], qcol, rrow, lane_gp, p, mbits, reach
         )
         p_ref[...] = P
         best_ref[...] = jnp.maximum(best_ref[...], P)
-        return 0
+        # static shifts must be non-negative: width-2 == -2 (mod width)
+        return (
+            pltpu.roll(qb, qb.shape[1] - 2, 1),
+            pltpu.roll(rb, rb.shape[1] - 2, 1),
+        )
 
-    jax.lax.fori_loop(0, ROWS, body, 0)
+    jax.lax.fori_loop(0, ROWS, body, (qblk, rbuf))
 
     @pl.when(l == n_blocks - 1)
     def _():
