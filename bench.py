@@ -64,6 +64,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="config-1 workload (5 x 1 Mb, 1 shard) as in BENCH_r01/r02")
+    ap.add_argument("--gut", action="store_true",
+                    help="config-3 workload: 200 x 1.5 Mb genomes = 300 Mbase, "
+                         "sharded at the 2^26-base cap (grouped multi-shard path)")
     ap.add_argument("--no-extend", dest="extend", action="store_false",
                     help="A/B: vote-only pipeline (attributes the extension stage cost)")
     args = ap.parse_args()
@@ -83,6 +86,12 @@ def main():
     if args.small:
         seqs = [rng.integers(0, 4, 1_000_000).astype(np.uint8) for _ in range(5)]
         n_shards = 1
+    elif args.gut:
+        # BASELINE.json config 3: gut-microbiome vs ~200-genome RefSeq
+        # subset — 300 Mbase forces a real multi-shard index (cap 2^26
+        # bases/shard, ops/lookup.py) through the grouped stacked path
+        seqs = [rng.integers(0, 4, 1_500_000).astype(np.uint8) for _ in range(200)]
+        n_shards = 5
     else:
         # 64 Mbase fits ONE shard (cap 2^26 bases, ops/lookup.py): a
         # single hash table means one gather pass, one chain sort and
