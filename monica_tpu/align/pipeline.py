@@ -566,3 +566,66 @@ def classify_batch(
     result = finalize_single(hit)
     counts = count_reads(result, lengths, n_accessions, count_mode)
     return result, counts
+
+
+def unpack_codes(packed: jnp.ndarray, read_len: int) -> jnp.ndarray:
+    """Device-side inverse of io.encode.pack_codes_2bit: (B, ceil(L/4))
+    uint8 wire bytes -> (B, L) uint8 base codes.  Pure elementwise
+    shifts/masks — XLA fuses it into the sketch stage's first pass."""
+    B, P = packed.shape
+    shifts = (jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2))[None, None, :]
+    c = (packed[:, :, None] >> shifts) & jnp.uint8(3)
+    return c.reshape(B, P * 4)[:, :read_len]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("read_len", "params", "n_accessions", "count_mode")
+)
+def classify_batch_packed(
+    index, packed, lengths, read_len, params, n_accessions,
+    count_mode=MODE_QUERY_LENGTH,
+):
+    """classify_batch on 2-bit packed wire input (4x less transfer)."""
+    return classify_batch(
+        index, unpack_codes(packed, read_len), lengths, params, n_accessions,
+        count_mode,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("read_len", "params", "n_accessions", "count_mode")
+)
+def classify_batch_grouped_packed(
+    groups, packed, lengths, read_len, params, n_accessions,
+    count_mode=MODE_QUERY_LENGTH,
+):
+    """classify_batch_grouped on 2-bit packed wire input."""
+    return classify_batch_grouped(
+        groups, unpack_codes(packed, read_len), lengths, params, n_accessions,
+        count_mode,
+    )
+
+
+@jax.jit
+def pack_results(result: ReadResult, counts: jnp.ndarray) -> jnp.ndarray:
+    """Pack everything the streaming host loop consumes into ONE int32
+    array so the per-batch device->host fetch is a single transfer
+    (each fetch costs a full round-trip regardless of size — three
+    separate fetches per batch were ~2/3 of the steady-state fetch
+    cost, STREAM_r03.json).  Layout: rows [status, acc_id, mlen], then
+    ceil(n_acc/B) rows of the (padded) count vector."""
+    B = result.status.shape[0]
+    n_acc = counts.shape[0]
+    rows = -(-n_acc // B)
+    cpad = jnp.zeros((rows * B,), jnp.int32).at[:n_acc].set(
+        counts.astype(jnp.int32)
+    )
+    return jnp.concatenate(
+        [
+            result.status[None].astype(jnp.int32),
+            result.acc_id[None].astype(jnp.int32),
+            result.mlen[None].astype(jnp.int32),
+            cpad.reshape(rows, B),
+        ],
+        axis=0,
+    )

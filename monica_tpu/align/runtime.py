@@ -156,15 +156,20 @@ class Classifier:
 
         params = pl.params_for_bucket(self.params, codes.shape[1])
         if self.mesh is None:
+            # 2-bit packed wire format: host->device bandwidth is the
+            # streaming bottleneck (STREAM_r03.json), so reads cross
+            # the wire at 4 bases/byte and unpack on device inside the
+            # jit program (fused into sketching).
             step = (
-                pl.classify_batch
+                pl.classify_batch_packed
                 if isinstance(self.index, pl.DeviceIndexShard)
-                else pl.classify_batch_grouped
+                else pl.classify_batch_grouped_packed
             )
             return step(
                 self.index,
-                jnp.asarray(codes),
+                jnp.asarray(enc.pack_codes_2bit(codes)),
                 jnp.asarray(lengths),
+                codes.shape[1],
                 params,
                 self.meta.n_accessions,
                 self.count_mode,
@@ -327,15 +332,18 @@ def process_sample(
         for b, (res, c) in pending:
             keep = b.idx >= 0
             idxs = b.idx[keep]
-            st = np.asarray(res.status)[keep]
-            ac = np.asarray(res.acc_id)[keep]
-            counts += np.asarray(c).astype(np.int64)
+            # ONE packed device->host transfer per batch (each fetch is
+            # a full round-trip regardless of size; see pl.pack_results)
+            arr = np.asarray(pl.pack_results(res, c))
+            st = arr[0][keep]
+            ac = arr[1][keep]
+            counts += arr[3:].reshape(-1)[: len(counts)].astype(np.int64)
             n_bases += int(b.lengths.sum())
             ch = chunked[idxs]
             status[idxs[~ch]] = st[~ch]
             acc[idxs[~ch]] = ac[~ch]
             if ch.any():
-                ml = np.asarray(res.mlen)[keep]
+                ml = arr[2][keep]
                 wl = b.lengths[keep]
                 for i, s_, a_, m_, w_ in zip(
                     idxs[ch], st[ch], ac[ch], ml[ch], wl[ch]

@@ -44,6 +44,31 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return comp[::-1]
 
 
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """(B, L) uint8 codes -> (B, ceil(L/4)) uint8 wire format: 4 bases
+    per byte, base i in bits 2*(i % 4) of byte i//4.
+
+    The host->device transfer is the streaming bottleneck (PCIe/DCN
+    bandwidth, or the tunnel in this environment — STREAM_r03.json),
+    not device compute; 2 bits/base quarters it, and the device-side
+    unpack (pipeline.unpack_codes) fuses into the sketch stage.
+
+    Non-ACGT codes (N, PAD) map to 0 ('A').  Row padding past each
+    read's true length is re-masked on device by position
+    (sketch_batch / extend_hits), so only *interior* Ns change
+    meaning: an N-spanning seed becomes a valid-looking hash instead
+    of an invalid one (minimap2 skips such seeds).  A false seed still
+    needs co-diagonal support to influence chaining, so at nanopore N
+    rates the effect is below the error-noise floor.
+    """
+    B, L = codes.shape
+    P4 = -(-L // 4) * 4
+    c = np.zeros((B, P4), np.uint8)
+    np.copyto(c[:, :L], np.where(codes < 4, codes, 0))
+    c = c.reshape(B, P4 // 4, 4)
+    return c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4) | (c[..., 3] << 6)
+
+
 @dataclass
 class ReadBatch:
     """A padded batch of reads ready for device transfer.

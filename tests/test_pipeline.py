@@ -295,3 +295,50 @@ def test_giant_record_segmented_across_shards(monkeypatch):
     accs = np.asarray(res.acc_id)[np.argsort(b.idx)]
     assert (status == pl.MAPPED).all(), status
     assert (accs == np.asarray(labels)).all(), accs
+
+
+def test_packed_wire_format_matches_raw():
+    """2-bit packed transfer (pack_codes_2bit -> unpack_codes) is
+    bit-exact for ACGT reads and classify_batch_packed == classify_batch
+    (STREAM_r03: the wire format quarters host->device traffic)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from monica_tpu.io import encode as enc
+    from monica_tpu.align import pipeline as pl
+    from tests.fixtures import random_genome
+    from monica_tpu.index.build import build_index_from_arrays
+
+    rng = np.random.default_rng(21)
+    for L in (7, 64, 1001):
+        codes = rng.integers(0, 4, (3, L)).astype(np.uint8)
+        codes[0, -1] = 4  # an N / PAD position -> 'A' on the wire
+        packed = enc.pack_codes_2bit(codes)
+        assert packed.shape == (3, -(-L // 4))
+        back = np.asarray(pl.unpack_codes(jnp.asarray(packed), L))
+        want = np.where(codes < 4, codes, 0)
+        assert np.array_equal(back, want)
+
+    seqs = [rng.integers(0, 4, 30_000).astype(np.uint8) for _ in range(3)]
+    built = build_index_from_arrays(seqs, n_shards=1)
+    dev, tb = pl.device_shard(built.shards[0])
+    params = pl.ClassifyParams(tag_bits=tb)
+    reads = np.stack([seqs[i % 3][200 : 200 + 512] for i in range(8)]).astype(np.uint8)
+    lengths = np.full(8, 512, np.int32)
+    res_raw, c_raw = pl.classify_batch(
+        dev, jnp.asarray(reads), jnp.asarray(lengths), params,
+        built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    res_pk, c_pk = pl.classify_batch_packed(
+        dev, jnp.asarray(enc.pack_codes_2bit(reads)), jnp.asarray(lengths),
+        512, params, built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    assert np.array_equal(np.asarray(res_raw.status), np.asarray(res_pk.status))
+    assert np.array_equal(np.asarray(res_raw.acc_id), np.asarray(res_pk.acc_id))
+    assert np.array_equal(np.asarray(c_raw), np.asarray(c_pk))
+
+    arr = np.asarray(pl.pack_results(res_pk, c_pk))
+    assert np.array_equal(arr[0], np.asarray(res_pk.status))
+    assert np.array_equal(arr[1], np.asarray(res_pk.acc_id))
+    assert np.array_equal(
+        arr[3:].reshape(-1)[: built.meta.n_accessions], np.asarray(c_pk)
+    )
