@@ -69,6 +69,8 @@ def main():
                          "sharded at the 2^26-base cap (grouped multi-shard path)")
     ap.add_argument("--no-extend", dest="extend", action="store_false",
                     help="A/B: vote-only pipeline (attributes the extension stage cost)")
+    ap.add_argument("--anchors", type=int, default=None,
+                    help="A/B: anchors_per_seed override (default: ClassifyParams)")
     args = ap.parse_args()
 
     from monica_tpu.utils.jaxcache import enable_compilation_cache
@@ -117,6 +119,8 @@ def main():
     params = pl.params_for_bucket(
         pl.ClassifyParams(tag_bits=steps, extend=args.extend), READ_LEN
     )
+    if args.anchors is not None:
+        params = params._replace(anchors_per_seed=args.anchors)
     n_acc = built.meta.n_accessions
 
     @jax.jit
