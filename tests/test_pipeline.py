@@ -342,3 +342,41 @@ def test_packed_wire_format_matches_raw():
     assert np.array_equal(
         arr[3:].reshape(-1)[: built.meta.n_accessions], np.asarray(c_pk)
     )
+
+
+def test_classifier_grouped_packed_dispatch(tmp_path):
+    """The product Classifier on a skewed MULTI-GROUP index (no mesh):
+    dispatches classify_batch_grouped_packed (2-bit wire) and matches
+    the raw grouped pipeline exactly."""
+    from monica_tpu.align import runtime as rt
+
+    rng = np.random.default_rng(62)
+    genomes, seqs = [], []
+    for i, n in enumerate([400_000] + [40_000] * 4):
+        g = random_genome(rng, n)
+        seqs.append(g)
+        p = tmp_path / f"g{i}.fna.gz"
+        make_fasta_gz(p, [(f"c{i}", g)])
+        genomes.append((str(p), [f"Sp_{i}", f"A{i:03d}.1"]))
+    built = build_index(genomes, n_shards=1, max_shard_bytes=50_000)
+    assert len(built.shards) >= 3
+
+    clf = rt.Classifier(built, pl.ClassifyParams(), count_mode="basic")
+    assert not isinstance(clf.index, pl.DeviceIndexShard)  # grouped
+    assert len(clf.index) >= 2  # multiple size classes
+
+    reads, labels = sample_reads(rng, seqs, 16, read_len=800, error=(0.03, 0.02, 0.02))
+    b = bucketize_reads(reads)[0]
+    res, counts = clf.classify(b.codes, b.lengths)
+
+    raw, craw = pl.classify_batch_grouped(
+        clf.index, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+        pl.params_for_bucket(clf.params, b.codes.shape[1]),
+        built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    assert np.array_equal(np.asarray(res.status), np.asarray(raw.status))
+    assert np.array_equal(np.asarray(res.acc_id), np.asarray(raw.acc_id))
+    assert np.array_equal(np.asarray(counts), np.asarray(craw))
+    mapped = np.asarray(res.status) == pl.MAPPED
+    assert mapped.mean() > 0.8
+    assert (np.asarray(res.acc_id)[mapped] == np.asarray(labels)[b.idx][mapped]).all()
