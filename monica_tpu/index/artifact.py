@@ -24,12 +24,32 @@ MANIFEST = "manifest.json"
 OUTSIDE_REGISTRY = ".outside_indexes"
 
 
+_SHARD_FIELDS = (
+    "ref_codes",
+    "seq_starts",
+    "seq_lengths",
+    "seq_accession_id",
+    "mz_hash",
+    "mz_pos",
+    "mz_strand",
+    "pos_accession_id",
+)
+
+
 def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
+    """v2 format: one UNCOMPRESSED .npy per shard array.
+
+    The ``.mmi`` analog is uncompressed too, and for good reason: the
+    compressed-npz v1 format cost 12.7 s save / 6.1 s load for a
+    64 Mbase index (deflate-bound at ~14 MB/s); raw .npy is pure I/O
+    and loads memory-mapped in milliseconds, with pages faulted in
+    lazily by the first device transfer.  Disk trades ~5x for that
+    (~400 MB/64 Mbase — same order as minimap2's 16x-FASTA .mmi)."""
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
     meta = index.meta
     manifest = {
-        "format": "monica_tpu.index.v1",
+        "format": "monica_tpu.index.v2",
         "k": meta.k,
         "w": meta.w,
         "frac": meta.frac,
@@ -42,25 +62,18 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
     with open(folder / MANIFEST, "w") as fh:
         json.dump(manifest, fh)
     for i, sh in enumerate(index.shards):
-        np.savez_compressed(
-            folder / f"shard{i}.npz",
-            ref_codes=sh.ref_codes,
-            seq_starts=sh.seq_starts,
-            seq_lengths=sh.seq_lengths,
-            seq_accession_id=sh.seq_accession_id,
-            mz_hash=sh.mz_hash,
-            mz_pos=sh.mz_pos,
-            mz_strand=sh.mz_strand,
-            pos_accession_id=sh.pos_accession_id,
-        )
+        for name in _SHARD_FIELDS:
+            np.save(folder / f"shard{i}.{name}.npy", getattr(sh, name))
     return folder
 
 
 def load_index(folder: str | os.PathLike) -> BuiltIndex:
+    """Load a v2 (memory-mapped .npy) or legacy v1 (.npz) artifact."""
     folder = Path(folder)
     with open(folder / MANIFEST) as fh:
         manifest = json.load(fh)
-    if manifest.get("format") != "monica_tpu.index.v1":
+    fmt = manifest.get("format")
+    if fmt not in ("monica_tpu.index.v1", "monica_tpu.index.v2"):
         raise ValueError(f"not a monica_tpu index: {folder}")
     meta = IndexMeta(
         tax_units=manifest["tax_units"],
@@ -73,19 +86,15 @@ def load_index(folder: str | os.PathLike) -> BuiltIndex:
     )
     shards = []
     for i in range(manifest["n_shards"]):
-        z = np.load(folder / f"shard{i}.npz")
-        shards.append(
-            IndexShard(
-                ref_codes=z["ref_codes"],
-                seq_starts=z["seq_starts"],
-                seq_lengths=z["seq_lengths"],
-                seq_accession_id=z["seq_accession_id"],
-                mz_hash=z["mz_hash"],
-                mz_pos=z["mz_pos"],
-                mz_strand=z["mz_strand"],
-                pos_accession_id=z["pos_accession_id"],
-            )
-        )
+        if fmt == "monica_tpu.index.v2":
+            arrays = {
+                name: np.load(folder / f"shard{i}.{name}.npy", mmap_mode="r")
+                for name in _SHARD_FIELDS
+            }
+        else:
+            z = np.load(folder / f"shard{i}.npz")
+            arrays = {name: z[name] for name in _SHARD_FIELDS}
+        shards.append(IndexShard(**arrays))
     return BuiltIndex(meta=meta, shards=shards)
 
 
