@@ -70,6 +70,8 @@ def stack_device_shards(
     stacked table is rectangular.  Row padding is all-zeros = the
     empty-slot sentinel.
     Returns (stacked pytree, common tag width over shards)."""
+    if not shards:
+        raise ValueError("cannot stack an empty shard list")
     T = max(len(s.ref_codes) for s in shards)
     if tag_bits is None:
         tag_bits = lk.tag_bits_for(T)
@@ -115,6 +117,8 @@ def stack_device_shard_groups(
     across groups (sized for the largest packed reference) so one
     static ClassifyParams covers every group.
     Returns (tuple of stacked group pytrees, common tag width)."""
+    if not shards:
+        raise ValueError("cannot stack an empty shard list")
     T = max(len(s.ref_codes) for s in shards)
     tag_bits = lk.tag_bits_for(T)
     by_class: dict[int, list[IndexShard]] = {}
@@ -125,6 +129,72 @@ def stack_device_shard_groups(
         for c in sorted(by_class)
     )
     return groups, tag_bits
+
+
+def _empty_shard() -> IndexShard:
+    """A padding shard that can never produce a hit: empty hash table
+    (all-zero rows = the empty-slot sentinel) over a 1-base reference.
+    Used to even out per-rank shard counts on the mesh ``index`` axis."""
+    return IndexShard(
+        ref_codes=np.full(1, 4, np.uint8),
+        seq_starts=np.zeros(0, np.int64),
+        seq_lengths=np.zeros(0, np.int64),
+        seq_accession_id=np.zeros(0, np.int32),
+        mz_hash=np.zeros(0, np.uint32),
+        mz_pos=np.zeros(0, np.int32),
+        mz_strand=np.zeros(0, np.uint8),
+        pos_accession_id=np.zeros(1, np.uint16),
+    )
+
+
+def stack_mesh_shard_groups(
+    shards: list[IndexShard], n_index: int
+) -> tuple[tuple[DeviceIndexShard, ...], int]:
+    """Stack ANY number of shards for an ``index``-axis of size n_index,
+    several shards per device when len(shards) > n_index (the reference
+    aligns every read against every chunk however many there are,
+    `monica/genomes/aligner.py:91-103`; VERDICT r3 item 2).
+
+    Layout: shards are grouped by power-of-2 size class (so one skewed
+    shard does not pad every device's HBM copy to its size — same
+    rationale as :func:`stack_device_shard_groups`); within each class
+    they are dealt to index ranks balanced by bytes, each rank padded
+    to the class's max-per-rank count with inert empty shards, and the
+    class is stacked RANK-MAJOR on the leading axis — rows
+    ``[r*S_c, (r+1)*S_c)`` belong to rank r, which is exactly how
+    ``P(INDEX_AXIS)`` slices a leading axis of length ``n_index*S_c``.
+    Per-device HBM is therefore bounded by the HEAVIEST rank's own
+    bytes (+ <= 2x class rounding), not by ``ceil(S/n_index) x
+    max_shard``: a uniform SPMD program runs identical static shapes on
+    every rank, so a size class with fewer members than ranks
+    necessarily costs one padded (inert) row on the other ranks — that
+    one-copy floor is the price of single-program dispatch, and it
+    never multiplies across shards the way global-max rectangular
+    stacking did.
+
+    Returns (tuple of stacked group pytrees, common tag width)."""
+    if not shards:
+        raise ValueError("cannot stack an empty shard list")
+    T = max(len(s.ref_codes) for s in shards)
+    tag_bits = lk.tag_bits_for(T)
+    by_class: dict[int, list[IndexShard]] = {}
+    for s in shards:
+        by_class.setdefault(_size_class(len(s.ref_codes)), []).append(s)
+    groups = []
+    for c in sorted(by_class):
+        members = sorted(by_class[c], key=lambda s: -len(s.ref_codes))
+        ranks: list[list[IndexShard]] = [[] for _ in range(n_index)]
+        loads = np.zeros(n_index, np.int64)
+        for s in members:  # LPT: largest first onto the lightest rank
+            r = int(np.argmin(loads))
+            ranks[r].append(s)
+            loads[r] += len(s.ref_codes)
+        s_c = max(len(r) for r in ranks)
+        ordered: list[IndexShard] = []
+        for r in ranks:
+            ordered += r + [_empty_shard()] * (s_c - len(r))
+        groups.append(stack_device_shards(ordered, tag_bits=tag_bits)[0])
+    return tuple(groups), tag_bits
 
 
 def stacked_nbytes(groups) -> int:
@@ -275,7 +345,10 @@ def classify_shard(
         bucket_len=L,
         anchors_per_seed=params.anchors_per_seed,
     )
-    res = ch.chain_votes(key, diag, rpos, fpos)
+    # vote cap = the seed budget: in the 512 bp bucket (n_slots=128) a
+    # clean read can legitimately stack >64 votes on one diagonal, and
+    # capping there biases statistical identity/mlen low (ADVICE r3)
+    res = ch.chain_votes(key, diag, rpos, fpos, max_run=min(128, params.n_slots))
     mapq = ch.mapq_from_votes(res.f1, res.f2)
 
     # anchor-count identity estimate: a k-mer survives error rate e with
@@ -613,8 +686,11 @@ def pack_results(result: ReadResult, counts: jnp.ndarray) -> jnp.ndarray:
     (each fetch costs a full round-trip regardless of size — three
     separate fetches per batch were ~2/3 of the steady-state fetch
     cost, STREAM_r03.json).  Layout: rows [status, acc_id, mlen], then
-    ceil(n_acc/B) rows of the (padded) count vector."""
+    ceil(counts.size/B) rows of the (flattened, padded) count block —
+    ``counts`` may be the (n_acc,) single-device vector or the mesh
+    step's (n_data, n_acc) per-rank table."""
     B = result.status.shape[0]
+    counts = counts.reshape(-1)
     n_acc = counts.shape[0]
     rows = -(-n_acc // B)
     cpad = jnp.zeros((rows * B,), jnp.int32).at[:n_acc].set(

@@ -104,6 +104,13 @@ class Classifier:
     ):
         self.meta = built.meta
         self.count_mode = pl.COUNT_MODES[count_mode]
+        if self.count_mode == pl.MODE_MATCHING and params.extend:
+            # 'matching' counts the reference's alignment mlen
+            # (`aligner.py:195,258-260` reads mappy's hit.mlen) — the
+            # default budgeted-rescue mode leaves vote-passed reads with
+            # only the statistical mlen estimate, so matching mode runs
+            # extension on EVERY read to count true matching bases
+            params = params._replace(extend_mode="full")
         self.mesh = mesh
         if mesh is None:
             if len(built.shards) == 1:
@@ -123,29 +130,32 @@ class Classifier:
             )
             self._step = None
         else:
-            stacked, steps = pl.stack_device_shards(built.shards)
+            from monica_tpu.parallel import mesh as pm
+
+            n_index = mesh.shape[pm.INDEX_AXIS]
+            # any shard count works: several shards per index rank are
+            # stacked rank-major by size class and lax.mapped inside
+            # the sharded step (the reference aligns every read against
+            # every chunk however many there are, aligner.py:91-103)
+            groups, steps = pl.stack_mesh_shard_groups(built.shards, n_index)
             self.params = params._replace(
                 tag_bits=steps, k=built.meta.k, w=built.meta.w, frac=built.meta.frac
             )
-            from monica_tpu.parallel import mesh as pm
-            from monica_tpu.parallel import dist
-
-            n_index = mesh.shape[pm.INDEX_AXIS]
-            if len(built.shards) != n_index:
-                raise ValueError(
-                    f"index has {len(built.shards)} shards but mesh index axis is {n_index}"
-                )
-            self.index = pm.shard_index(mesh, stacked)
+            self.index = tuple(pm.shard_index(mesh, g) for g in groups)
             self._steps = {}  # per-bucket-params sharded steps
             self._data_mult = mesh.shape[pm.DATA_AXIS]
 
     def _mesh_step(self, params):
-        key = params.n_slots
+        # key on the WHOLE params tuple: today only n_slots varies per
+        # bucket, but keying on it alone would silently reuse a stale
+        # step the first time params_for_bucket varies anything else
+        key = params
         if key not in self._steps:
             from monica_tpu.parallel import dist
 
             self._steps[key] = dist.make_sharded_classifier(
-                self.mesh, params, self.meta.n_accessions, self.count_mode
+                self.mesh, params, self.meta.n_accessions, self.count_mode,
+                index_tree=self.index,
             )
         return self._steps[key]
 
@@ -179,6 +189,41 @@ class Classifier:
         dcodes, dlens = pm.shard_reads(self.mesh, codes, lengths)
         return self._mesh_step(params)(self.index, dcodes, dlens)
 
+    def fetch(self, res, counts):
+        """Blocking device->host fetch of one dispatched batch's results
+        for THIS process's rows: (status, acc_id, mlen, counts) numpy
+        arrays, counts already reduced to one (n_accessions,) int64
+        vector covering this process's rows only.
+
+        Single-process: one packed transfer (pl.pack_results).
+        Multi-process: the global result is not fully addressable —
+        fetch this process's addressable row blocks per field
+        (parallel.mesh.fetch_local_rows) and sum its data ranks'
+        count rows."""
+        n_acc = self.meta.n_accessions
+        import jax
+
+        if self.mesh is not None and jax.process_count() > 1:
+            from monica_tpu.parallel import mesh as pm
+
+            st = pm.fetch_local_rows(res.status)
+            ac = pm.fetch_local_rows(res.acc_id)
+            ml = pm.fetch_local_rows(res.mlen)
+            c = pm.fetch_local_rows(counts).sum(axis=0).astype(np.int64)
+            return st, ac, ml, c
+        arr = np.asarray(pl.pack_results(res, counts))
+        flat = arr[3:].reshape(-1)
+        if self.mesh is not None:
+            c = (
+                flat[: self._data_mult * n_acc]
+                .reshape(self._data_mult, n_acc)
+                .sum(axis=0)
+                .astype(np.int64)
+            )
+        else:
+            c = flat[:n_acc].astype(np.int64)
+        return arr[0], arr[1], arr[2], c
+
     def batch_row_multiple(self) -> int:
         return getattr(self, "_data_mult", 1)
 
@@ -192,6 +237,111 @@ class SampleReport:
     n_ambiguous: int = 0
     n_focus: int = 0
     seconds: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# multi-host lockstep (jax.distributed product path)
+# ---------------------------------------------------------------------------
+#
+# When the mesh spans processes, every dispatch of the sharded step is a
+# collective program: all processes must issue the same sequence of
+# batch SHAPES or the run deadlocks.  Each host classifies its OWN
+# sample files (the per-host contract: separate -q folders, per-host
+# output tables whose union is the global result — "linear to N hosts"
+# means host-granular data parallelism over flowcells, with the mesh
+# collectives only merging index shards / read rows *within* one
+# dispatch).  Shape agreement is reached with one small
+# process_allgather per sample: the per-bucket batch-row schedule is
+# maxed across processes and every host pads its batches (adding inert
+# all-padding rows/batches) to the common schedule.
+
+def _is_multiprocess(classifier: "Classifier") -> bool:
+    if classifier.mesh is None:
+        return False
+    import jax
+
+    return jax.process_count() > 1
+
+
+def _pad_batch_to_rows(batch: "enc.ReadBatch", rows: int) -> "enc.ReadBatch":
+    n = len(batch)
+    if rows == n:
+        return batch
+    codes = np.full((rows, batch.bucket_len), enc.PAD_CODE, dtype=np.uint8)
+    codes[:n] = batch.codes
+    lengths = np.zeros(rows, dtype=np.int32)
+    lengths[:n] = batch.lengths
+    idx = np.full(rows, -1, dtype=np.int32)
+    idx[:n] = batch.idx
+    return enc.ReadBatch(codes, lengths, idx)
+
+
+_MAX_SCHED_SLOTS = 512  # batches per sample in the allgathered plan
+
+
+def _sync_batch_schedule(batches: list, mult: int) -> list:
+    """Agree on a common dispatch schedule across processes and return
+    this process's (padded/extended) lockstep batch list.
+
+    Local plans are encoded as (bucket_len, padded_rows) pairs; the
+    global schedule takes, per bucket, the slot-wise maximum row count
+    over processes (each process orders its per-bucket batches by
+    descending rows first, so maxima pair like with like).  A process
+    missing a scheduled slot contributes an all-padding batch — inert
+    rows (length 0, idx -1) that the pipeline masks out."""
+    from jax.experimental import multihost_utils
+
+    per: dict[int, list] = {}
+    for b in batches:
+        per.setdefault(b.bucket_len, []).append(b)
+    for v in per.values():
+        v.sort(key=len, reverse=True)
+
+    plan = np.zeros((_MAX_SCHED_SLOTS, 2), np.int32)
+    i = 0
+    for blen in sorted(per):
+        for b in per[blen]:
+            if i >= _MAX_SCHED_SLOTS:
+                raise ValueError(
+                    f"sample needs >{_MAX_SCHED_SLOTS} device batches; "
+                    "raise --max_batch"
+                )
+            plan[i] = (blen, len(b))
+            i += 1
+    all_plans = np.asarray(multihost_utils.process_allgather(plan))
+    if all_plans.ndim == 2:  # single process (allgather is a no-op)
+        all_plans = all_plans[None]
+
+    sched: dict[int, list[int]] = {}
+    for p in range(all_plans.shape[0]):
+        per_p: dict[int, list[int]] = {}
+        for blen, rows in all_plans[p]:
+            if blen > 0:
+                per_p.setdefault(int(blen), []).append(int(rows))
+        for blen, lst in per_p.items():
+            lst.sort(reverse=True)
+            cur = sched.setdefault(blen, [])
+            for k, r in enumerate(lst):
+                if k < len(cur):
+                    cur[k] = max(cur[k], r)
+                else:
+                    cur.append(r)
+
+    out = []
+    for blen in sorted(sched):
+        have = per.get(blen, [])
+        for k, rows in enumerate(sched[blen]):
+            b = (
+                have[k]
+                if k < len(have)
+                else enc.ReadBatch(
+                    np.zeros((0, blen), np.uint8),
+                    np.zeros(0, np.int32),
+                    np.zeros(0, np.int32),
+                )
+            )
+            out.append(_pad_batch_to_rows(b, rows))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -292,29 +442,101 @@ def process_sample(
 
     The per-read loop of `aligner.py:205-265`, restructured: parse ->
     bucketized device batches (async dispatch) -> fetch -> host routing
-    + count accumulation -> delete consumed file.
+    + count accumulation -> delete consumed file.  run_once overlaps
+    these stages ACROSS samples on worker threads (the reference's
+    ThreadPool-over-samples analog, `aligner.py:89`); this function is
+    the serial composition of the same three stages.
+
+    ``sample_path=None`` is the multi-host lockstep filler: a host with
+    fewer samples this pass still participates in every collective
+    dispatch (all-padding batches), touching no files and no state.
     """
     metrics = metrics or Metrics(verbose=False)
     t0 = time.perf_counter()
+    multiproc = _is_multiprocess(classifier)
+    prepared = _prepare_sample(classifier, sample_path, buckets, max_batch, metrics)
+    if not prepared.n_rows and not multiproc:
+        if delete and sample_path is not None:
+            Path(sample_path).unlink(missing_ok=True)
+        return prepared.rep
+    pending = _dispatch_sample(classifier, prepared, multiproc)
+    return _finish_sample(
+        classifier, prepared, pending, folders, state,
+        focus_taxa=focus_taxa, overnight=overnight, delete=delete,
+        metrics=metrics, t0=t0,
+    )
+
+
+@dataclass
+class _PreparedSample:
+    """Host stage 1 output: parsed + encoded, ready for dispatch."""
+
+    sample_path: Path | None
+    name: str
+    sample: object
+    batches: list
+    rep: SampleReport
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.sample)
+
+
+def _prepare_sample(
+    classifier, sample_path, buckets, max_batch, metrics
+) -> _PreparedSample:
+    """Parse + encode + bucketize one sample (C parser releases the
+    GIL, so this overlaps other samples' device work in run_once)."""
+    if sample_path is None:
+        return _PreparedSample(
+            None, "<lockstep-filler>", _PySample([]), [],
+            SampleReport(sample="<lockstep-filler>"),
+        )
     sample_path = Path(sample_path)
     name = seqio.sample_name(sample_path)
     rep = SampleReport(sample=name)
-
     with metrics.stage(f"parse:{name}"):
         sample = _load_sample(sample_path)
     rep.n_reads = len(sample)
-    if not len(sample):
-        if delete:
-            sample_path.unlink(missing_ok=True)
-        return rep
+    batches = []
+    if len(sample):
+        batches = sample.batches(buckets, max_batch)
+        mult = classifier.batch_row_multiple()
+        batches = [enc.pad_rows(b, mult) for b in batches]
+    return _PreparedSample(sample_path, name, sample, batches, rep)
 
-    batches = sample.batches(buckets, max_batch)
-    mult = classifier.batch_row_multiple()
-    batches = [enc.pad_rows(b, mult) for b in batches]
 
-    # dispatch everything first (device queue), then fetch in order —
-    # host encode of batch i+1 overlaps device compute of batch i.
-    pending = [(b, classifier.classify(b.codes, b.lengths)) for b in batches]
+def _dispatch_sample(classifier, prepared: _PreparedSample, multiproc: bool):
+    """Dispatch every batch to the device queue WITHOUT blocking (jax
+    async dispatch = free double buffering within the sample)."""
+    batches = prepared.batches
+    if multiproc:
+        # collective-program shape agreement (see module comment above
+        # _sync_batch_schedule); every host dispatches the same shapes
+        batches = _sync_batch_schedule(batches, classifier.batch_row_multiple())
+    return [(b, classifier.classify(b.codes, b.lengths)) for b in batches]
+
+
+def _finish_sample(
+    classifier,
+    prepared: _PreparedSample,
+    pending,
+    folders,
+    state,
+    focus_taxa=frozenset(),
+    overnight=False,
+    delete=True,
+    metrics=None,
+    t0=None,
+    state_lock=None,
+) -> SampleReport:
+    """Fetch + window-merge + count + route + delete (host stage 3)."""
+    metrics = metrics or Metrics(verbose=False)
+    t0 = t0 if t0 is not None else time.perf_counter()
+    sample = prepared.sample
+    sample_path = prepared.sample_path
+    name = prepared.name
+    rep = prepared.rep
 
     status = np.zeros(len(sample), np.int32)
     acc = np.full(len(sample), -1, np.int32)
@@ -332,18 +554,20 @@ def process_sample(
         for b, (res, c) in pending:
             keep = b.idx >= 0
             idxs = b.idx[keep]
-            # ONE packed device->host transfer per batch (each fetch is
-            # a full round-trip regardless of size; see pl.pack_results)
-            arr = np.asarray(pl.pack_results(res, c))
-            st = arr[0][keep]
-            ac = arr[1][keep]
-            counts += arr[3:].reshape(-1)[: len(counts)].astype(np.int64)
+            # ONE packed device->host transfer per batch on the
+            # single-process paths (each fetch is a full round-trip
+            # regardless of size; see pl.pack_results); per-process
+            # addressable rows under jax.distributed
+            st_all, ac_all, ml_all, cb = classifier.fetch(res, c)
+            st = st_all[keep]
+            ac = ac_all[keep]
+            counts += cb
             n_bases += int(b.lengths.sum())
             ch = chunked[idxs]
             status[idxs[~ch]] = st[~ch]
             acc[idxs[~ch]] = ac[~ch]
             if ch.any():
-                ml = arr[2][keep]
+                ml = ml_all[keep]
                 wl = b.lengths[keep]
                 for i, s_, a_, m_, w_ in zip(
                     idxs[ch], st[ch], ac[ch], ml[ch], wl[ch]
@@ -382,7 +606,15 @@ def process_sample(
         else:
             status[i] = pl.UNMAPPED
 
-    state.update(name, counts)
+    if sample_path is None:
+        rep.seconds = time.perf_counter() - t0
+        return rep  # filler: no files to route, nothing to accumulate
+
+    if state_lock is not None:
+        with state_lock:
+            state.update(name, counts)
+    else:
+        state.update(name, counts)
 
     tax_units = classifier.meta.tax_units
     wmode = "ab" if sample.binary else "a"
@@ -438,32 +670,58 @@ def run_once(
     max_batch: int = 4096,
 ) -> list[SampleReport]:
     """One batch pass: process every sample currently in the folder and
-    persist the accumulator (the re-invocation unit of SURVEY §3.4)."""
+    persist the accumulator (the re-invocation unit of SURVEY §3.4).
+
+    Multi-host (`jax.distributed` + a process-spanning mesh): each host
+    passes its OWN query/output folders and processes its own samples;
+    hosts agree on the pass's sample count (hosts with fewer run inert
+    lockstep fillers) so every collective dispatch lines up.  The
+    per-host output tables' union is the global result.
+    """
     query_folder = Path(query_folder)
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
-    samples = seqio.list_sample_files(query_folder)
+    samples: list = list(seqio.list_sample_files(query_folder))
+    multiproc = _is_multiprocess(classifier)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        n_all = np.asarray(
+            multihost_utils.process_allgather(np.int32(len(samples)))
+        ).reshape(-1)
+        samples += [None] * (int(n_all.max()) - len(samples))
     if not samples:
         return []
     touch_sentinel(query_folder, S_GOING_TO_ALIGN)
     folders = RouteFolders.create(query_folder, with_focus=bool(focus_taxa))
     state = AbundanceState.load(output_folder, classifier.meta.n_accessions)
     reports = []
+    if not multiproc and len(samples) > 1:
+        # single-process multi-sample: overlap host stages across
+        # samples (parse i+1 / route i-1 on workers while the device
+        # runs i — the reference's ThreadPool over samples analog)
+        reports = _run_pipelined(
+            classifier, samples, folders, state, query_folder,
+            focus_taxa, overnight, delete, metrics or Metrics(verbose=False),
+            max_batch,
+        )
+        state.save(output_folder)
+        return reports
     for s in samples:
         try:
-            reports.append(
-                process_sample(
-                    classifier,
-                    s,
-                    folders,
-                    state,
-                    focus_taxa=focus_taxa,
-                    overnight=overnight,
-                    delete=delete,
-                    metrics=metrics,
-                    max_batch=max_batch,
-                )
+            rep = process_sample(
+                classifier,
+                s,
+                folders,
+                state,
+                focus_taxa=focus_taxa,
+                overnight=overnight,
+                delete=delete,
+                metrics=metrics,
+                max_batch=max_batch,
             )
+            if s is not None:
+                reports.append(rep)
         except Exception as e:  # quarantine, keep the run alive
             failed = query_folder / FAILED_DIR
             failed.mkdir(parents=True, exist_ok=True)
@@ -473,7 +731,104 @@ def run_once(
             except OSError:
                 pass
             print(f"sample {s.name} failed ({e}); quarantined to {target}")
+            if multiproc:
+                # keep the other hosts' lockstep slots aligned: parse
+                # failures happen before any collective dispatch, so an
+                # inert filler fills this sample's slot
+                process_sample(
+                    classifier, None, folders, state,
+                    metrics=metrics, max_batch=max_batch,
+                )
     state.save(output_folder)
+    return reports
+
+
+def _run_pipelined(
+    classifier,
+    samples,
+    folders,
+    state,
+    query_folder: Path,
+    focus_taxa,
+    overnight,
+    delete,
+    metrics: Metrics,
+    max_batch: int,
+) -> list[SampleReport]:
+    """Overlapped streaming (VERDICT r3 item 4): a 3-stage software
+    pipeline over samples — parse/encode on a worker (the C parser
+    releases the GIL), dispatch serially on the caller thread (bounds
+    in-flight device work to ~2 samples' batches), fetch+route on a
+    second worker (fetch blocks on the device; routing is span-concat
+    + file writes).  Per-sample Metrics stage names are unique, and the
+    shared AbundanceState is updated under a lock, so worker threads
+    never contend on the same mutable record."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    state_lock = threading.Lock()
+    reports: list[SampleReport] = []
+
+    def quarantine(path: Path, e: BaseException) -> None:
+        failed = query_folder / FAILED_DIR
+        failed.mkdir(parents=True, exist_ok=True)
+        target = failed / path.name
+        try:
+            path.replace(target)
+        except OSError:
+            pass
+        print(f"sample {path.name} failed ({e}); quarantined to {target}")
+
+    PREFETCH = 2
+    with ThreadPoolExecutor(max_workers=2) as parse_pool, ThreadPoolExecutor(
+        max_workers=2
+    ) as route_pool:
+        parse_futs = [
+            parse_pool.submit(
+                _prepare_sample, classifier, s, enc.DEFAULT_BUCKETS,
+                max_batch, metrics,
+            )
+            for s in samples[:PREFETCH]
+        ]
+        route_futs = []
+        for i, s in enumerate(samples):
+            try:
+                prepared = parse_futs[i].result()
+            except Exception as e:
+                quarantine(Path(s), e)
+                prepared = None
+            nxt = i + PREFETCH
+            if nxt < len(samples):
+                parse_futs.append(
+                    parse_pool.submit(
+                        _prepare_sample, classifier, samples[nxt],
+                        enc.DEFAULT_BUCKETS, max_batch, metrics,
+                    )
+                )
+            if prepared is None:
+                continue
+            if not prepared.n_rows:
+                if delete:
+                    prepared.sample_path.unlink(missing_ok=True)
+                reports.append(prepared.rep)
+                continue
+            t0 = time.perf_counter()
+            pending = _dispatch_sample(classifier, prepared, False)
+            route_futs.append(
+                (
+                    s,
+                    route_pool.submit(
+                        _finish_sample, classifier, prepared, pending,
+                        folders, state, focus_taxa, overnight, delete,
+                        metrics, t0, state_lock,
+                    ),
+                )
+            )
+        for s, f in route_futs:
+            try:
+                reports.append(f.result())
+            except Exception as e:
+                quarantine(Path(s), e)
     return reports
 
 
@@ -490,7 +845,12 @@ def watch(
     re-invoking the CLI per flowcell batch; here the loop is first-class.
     ``on_batch(reports)`` runs after each non-empty pass (e.g. table
     export + plot refresh).  Stops after ``max_idle_polls`` empty polls
-    (None = run forever)."""
+    (None = run forever).
+
+    Multi-host: run_once is a collective whenever ANY host has samples,
+    so all hosts must keep calling it — use ``max_idle_polls=None``
+    (every host polls forever at the same cadence) unless the hosts'
+    flowcell feeds are known to go quiet together."""
     all_reports: list[SampleReport] = []
     idle = 0
     while True:

@@ -47,6 +47,13 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
     (~400 MB/64 Mbase — same order as minimap2's 16x-FASTA .mmi)."""
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
+    # a re-save into an existing folder must not leave stale shard
+    # files behind (a prior v1 .npz save, or a prior save with more
+    # shards): load follows the manifest so stale files are never
+    # *read*, but they waste disk and confuse inspection (ADVICE r3).
+    # Removing them first also makes a partial prior save harmless.
+    for old in folder.glob("shard*"):
+        old.unlink(missing_ok=True)
     meta = index.meta
     manifest = {
         "format": "monica_tpu.index.v2",

@@ -29,12 +29,20 @@ from monica_tpu.io import encode as enc
 from monica_tpu.io import seq as seqio
 from monica_tpu.index import minimizer as mz
 
-# drop minimizers occurring more often than this from the table (the
-# minimap2 repetitive-seed filter analog, cf. its -f top-fraction cut):
-# repeats produce bogus anchors everywhere, and short equal-hash runs
-# are what lets query lookup use a fixed gather window with no search
-# (ops.lookup).  16 comfortably covers rRNA-operon-grade duplication.
-OCC_CAP = 16
+# THE per-seed occurrence policy, in one place (ADVICE r3): a
+# minimizer occurring more than OCC_CAP times in a shard is dropped
+# WHOLESALE from the table (the minimap2 repetitive-seed filter
+# analog, cf. its -f top-fraction cut) — repeats produce bogus anchors
+# everywhere.  OCC_CAP equals ops.lookup.ROW_SLOTS (the hash-row
+# capacity, one 32-byte gather per seed) so every *kept* run fits its
+# row and build_hash_rows never silently truncates a run: the
+# effective budget is exactly "<= ROW_SLOTS occurrences kept in full,
+# more -> seed dropped".  (Rare row COLLISIONS — different hashes
+# sharing a row — can still overflow a row and drop surplus entries;
+# load factor <= 2 keeps that in the Poisson tail.)
+from monica_tpu.ops.lookup import ROW_SLOTS as _ROW_SLOTS
+
+OCC_CAP = _ROW_SLOTS
 
 # hard shard-size cap from the packed lookup entry: pos<<1|strand plus
 # >= MIN_TAG_BITS of hash tag must fit 32 bits (ops/lookup.py)
@@ -314,6 +322,8 @@ def build_index(
     exact tuple contract the reference's fetcher hands to its database
     builder (`monica/genomes/fetcher.py:252`).
     """
+    if not genomes:
+        raise ValueError("build_index: empty genome set (nothing to index)")
     tax_units = [g[1][0] for g in genomes]
     accessions = [g[1][1] for g in genomes]
     genome_lengths = np.zeros(len(genomes), dtype=np.int64)
@@ -326,6 +336,8 @@ def build_index(
         genome_lengths[gi] = int(sum(len(r) for r in recs))
 
     units = _segment_records(all_codes)
+    if not units:
+        raise ValueError("build_index: genomes contain no sequence records")
     assignment = _assign_units(
         [len(u[1]) for u in units],
         n_shards if max_shard_bytes is None else None,
@@ -360,6 +372,8 @@ def build_index_from_arrays(
     """Build an index directly from uint8 code arrays (one per genome) —
     the in-memory path used by benchmarks, the evaluation harness, and
     the driver entry (no FASTA round-trip)."""
+    if not seqs:
+        raise ValueError("build_index_from_arrays: empty genome set")
     n = len(seqs)
     tax_units = tax_units or [f"Species_{i}" for i in range(n)]
     accessions = accessions or [f"ACC{i:04d}.1" for i in range(n)]

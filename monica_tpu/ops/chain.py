@@ -64,14 +64,15 @@ def chain_votes(key, diag, read_pos, ref_pos, max_run: int = 64) -> ChainResult:
     """Vote over anchor keys; all inputs (B, A) from lookup_anchors.
 
     ``max_run`` caps the counted stretch (and the _pair_votes pass
-    count, the chain stage's main VPU cost).  64 saturates every vote
-    a read can cast: the per-bucket seed budget keeps valid seeds per
-    read <= 64 beyond the 512 bp bucket (pipeline.params_for_bucket)
-    and nanopore 300 bp reads carry ~55 minimizers, so a single locus
-    collecting > 64 votes needs most anchors duplicated at one
-    diagonal (a tandem repeat) — where saturating f1 changes nothing:
-    identity frac is already clipped at 1 and mapq's log term is far
-    past its cap."""
+    count, the chain stage's main VPU cost).  The caller should pass
+    ``min(128, n_slots)``: a locus can legitimately collect up to the
+    read's valid-seed count in votes, and in the <=512 bp bucket
+    n_slots stays 128 (pipeline.params_for_bucket) — a clean ~500 bp
+    read carries ~85 minimizers on one diagonal, so capping at 64
+    there would saturate f1 and bias the statistical identity/mlen low
+    wherever extension does not override it (no-extend runs,
+    non-rescued reads, 'matching' count mode).  Buckets > 512 bp run
+    n_slots=64, so the default 64 is exact for them."""
     B, A = key.shape
     # TPU: bitonic network (static lane permutations + min/max,
     # ops/sortnet.py) instead of the generic comparator lax.sort.

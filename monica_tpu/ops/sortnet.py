@@ -34,9 +34,15 @@ def bitonic_sort_rows(
     crosses a group boundary, so the full-width network truncated at
     k=g IS the per-group sort.  Used by ops.lookup to compact 8-slot
     hash rows without lax.sort on an 8-wide minor axis.
+
+    Only the GROUP must be a power of two: with ``group=g`` every
+    exchange distance is j < g, so the network never references lanes
+    outside an aligned g-block and any width that is a multiple of g
+    works (e.g. n_slots=96 rows with group=8 — a full-width
+    power-of-two requirement here would reject legal slot budgets at
+    trace time on TPU while CPU takes the jnp.sort branch).
     """
     A = x.shape[-1]
-    assert A & (A - 1) == 0, f"row width {A} not a power of two"
     g = group or A
     assert g & (g - 1) == 0 and A % g == 0, f"bad group {g} for width {A}"
     idx = np.arange(A)

@@ -188,11 +188,18 @@ class AnalysisConfig:
     n_data: int = 1
 
 
-def resolve_mesh(n_data: int, n_index: int):
+def resolve_mesh(n_data: int, n_shards: int):
     """Build the ('data','index') product mesh for a run, or None for
     the single-device path.  The reference's analog is its thread pool
     over sample files (`monica/genomes/aligner.py:89-103`); here one
-    read batch is SPMD-sharded over chips instead."""
+    read batch is SPMD-sharded over chips instead.
+
+    The index axis does NOT have to equal the shard count: each index
+    rank holds ceil(n_shards/n_index) shards (rank-major grouped
+    stacking, `pipeline.stack_mesh_shard_groups`), so a 5-shard index
+    runs fine on a (data=4, index=2) mesh.  The axis is sized to the
+    largest divisor of the device budget that is <= n_shards (more
+    index ranks than shards would idle devices on empty padding)."""
     if not n_data or n_data == 1:
         return None  # single-device path: shards stacked, lax.map merge
     import jax
@@ -202,15 +209,18 @@ def resolve_mesh(n_data: int, n_index: int):
     n_dev = len(jax.devices())
     auto = n_data == -1
     if auto:
+        n_index = min(max(n_shards, 1), n_dev)
         n_data = max(n_dev // n_index, 1)
+    else:
+        if n_data > n_dev:
+            raise SystemExit(
+                f"--n_data {n_data} needs {n_data} devices, but only "
+                f"{n_dev} are available"
+            )
+        n_index = min(max(n_shards, 1), n_dev // n_data)
     need = n_data * n_index
-    if need > n_dev or need == 1:
-        if auto:
-            return None  # not enough devices: stacked single-device path
-        raise SystemExit(
-            f"--n_data {n_data} with {n_index} index shards needs "
-            f"{need} devices, but only {n_dev} are available"
-        )
+    if need == 1:
+        return None  # degenerate mesh: stacked single-device path
     return pm.make_mesh(n_data=n_data, n_index=n_index, devices=jax.devices()[:need])
 
 

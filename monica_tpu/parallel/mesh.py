@@ -69,6 +69,21 @@ def shard_reads(mesh: Mesh, codes, lengths):
     return jax.device_put(codes, s2), jax.device_put(lengths, s1)
 
 
+def fetch_local_rows(arr) -> np.ndarray:
+    """Host fetch of THIS process's rows of a data-sharded global array
+    (multi-host runtime: the global result of the sharded step is not
+    fully addressable, but each process fed — and owns — its own rows,
+    `shard_reads`'s host-batch contract).  Index-axis replicas hold
+    identical copies of the same row range; dedupe by range and
+    concatenate in global row order."""
+    seen: dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def shard_index(mesh: Mesh, stacked_index):
     """Place stacked DeviceIndexShard arrays with the leading shard axis
     over the index mesh axis."""

@@ -32,6 +32,26 @@ _SERIES_DARK = ["#3987e5", "#d95926", "#199e70", "#c98500", "#d55181", "#008300"
 _OTHER_LIGHT, _OTHER_DARK = "#8a8984", "#706f6a"
 
 
+def palette_colors(palette: str, n: int) -> tuple[list[str], list[str]] | None:
+    """Resolve a matplotlib colormap name to (light, dark) hex series
+    colors — the reference honors any cmap (`barplot.py:43-53`).  The
+    validated default palette is used for ``default``/unknown names
+    (it stays CVD-readable in both schemes, which arbitrary cmaps are
+    not; the dark variant reuses the sampled colors)."""
+    if not palette or palette == "default":
+        return None
+    try:
+        import matplotlib
+
+        cmap = matplotlib.colormaps[palette]
+    except (ImportError, KeyError):
+        print(f"barplot: unknown palette {palette!r}; using the validated default")
+        return None
+    pts = np.linspace(0.05, 0.95, max(n, 1))
+    cols = [matplotlib.colors.to_hex(cmap(float(p))) for p in pts]
+    return cols, cols
+
+
 def by_taxunit(df: pd.DataFrame) -> pd.DataFrame:
     """Sum accession rows into tax-unit rows (`barplot.py:19-27`)."""
     return df.fillna(0).groupby(level=0, sort=False).sum()
@@ -48,7 +68,7 @@ def plotter(
     norm_alignment_df: pd.DataFrame,
     raw_alignment_df: pd.DataFrame,
     output_folder: str | os.PathLike,
-    palette: str = "default",  # accepted for CLI parity; validated palette is used
+    palette: str = "default",  # matplotlib cmap name, or the validated default
     reads_threshold: float = READS_THRESHOLD,
     hosts: list[str] | None = None,
     guests: list[str] | None = None,
@@ -76,6 +96,8 @@ def plotter(
 
     # rank taxa by max abundance; first 8 get palette slots, rest fold
     order = norm_t.max(axis=1).sort_values(ascending=False).index.tolist()
+    custom = palette_colors(palette, min(len(order), 8))
+    light, dark = custom if custom else (_SERIES_LIGHT, _SERIES_DARK)
     top = order[:8]
     rest = order[8:]
     series = []
@@ -86,8 +108,8 @@ def plotter(
                 "name": name,
                 "taxon": str(taxon),
                 "values": [float(norm_t.loc[taxon, s]) for s in samples],
-                "cl": _SERIES_LIGHT[i],
-                "cd": _SERIES_DARK[i],
+                "cl": light[i],
+                "cd": dark[i],
             }
         )
     if rest:
@@ -112,6 +134,12 @@ def plotter(
     output_folder.mkdir(parents=True, exist_ok=True)
     out = output_folder / BARPLOT_FILENAME
     out.write_text(html_text)
+    if auto_open:
+        # the reference opens the rendered plot in a browser
+        # (plotly auto_open, reference barplot.py:118)
+        import webbrowser
+
+        webbrowser.open(out.resolve().as_uri())
     return out
 
 

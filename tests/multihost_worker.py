@@ -58,7 +58,15 @@ def main():
     sidx = pm.shard_index(mesh, stacked)
     dcodes, dlens = pm.shard_reads(mesh, local_codes, local_lengths)
     result, counts = step(sidx, dcodes, dlens)
-    counts = np.asarray(counts)  # replicated -> addressable everywhere
+    # counts are PER DATA RANK (n_data, n_acc) sharded over data (so a
+    # multi-host runtime can read its own hosts' counts locally); the
+    # global table is the sum over ranks — allgather the local sums
+    from jax.experimental import multihost_utils
+
+    local = pm.fetch_local_rows(counts).sum(axis=0)
+    counts = np.asarray(
+        multihost_utils.process_allgather(local)
+    ).reshape(nproc, -1).sum(axis=0)
 
     # golden: single-device classification of the SAME global batch
     import jax.numpy as jnp

@@ -59,3 +59,44 @@ def test_two_process_distributed_step(tmp_path):
     c0 = (tmp_path / "ok_0").read_text()
     c1 = (tmp_path / "ok_1").read_text()
     assert c0 == c1 and c0
+
+
+@pytest.mark.timeout(300)
+def test_two_process_product_run_once(tmp_path):
+    """The PRODUCT surface under jax.distributed (VERDICT r3 item 1):
+    rt.Classifier + rt.run_once in both processes, each host routing
+    its own (different) sample files, with per-sample counts and
+    routed FASTQs equal to a single-device golden."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = str(REPO / "tests" / "multihost_product_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", f"127.0.0.1:{port}", str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    deadline = time.time() + 240
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(deadline - time.time(), 1))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    ok0 = (tmp_path / "ok_0").read_text()
+    ok1 = (tmp_path / "ok_1").read_text()
+    # per-host tables cover each host's own samples (union = global)
+    assert "alpha:" in ok0 and "beta:" in ok0
+    assert "gamma:" in ok1

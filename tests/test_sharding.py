@@ -70,3 +70,94 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 8, "index": 1}
     mesh = pm.make_mesh(n_index=4)
     assert mesh.shape == {"data": 2, "index": 4}
+
+
+def test_mesh_more_shards_than_index_ranks(tmp_path):
+    """A 5-shard index on a (data=4, index=2) mesh (VERDICT r3 item 2):
+    each index rank lax.maps over its local shard group and outputs
+    must be identical to the single-device grouped path — the
+    reference's every-read-vs-every-chunk contract
+    (`aligner.py:91-103`) regardless of chunk count vs devices."""
+    from monica_tpu.align import runtime as rt
+    from monica_tpu.stats.abundance import AbundanceState
+    from tests.fixtures import make_fastq
+
+    rng = np.random.default_rng(77)
+    genomes, seqs = [], []
+    for i in range(5):
+        g = random_genome(rng, 20_000)
+        seqs.append(g)
+        p = tmp_path / f"g{i}.fna.gz"
+        make_fasta_gz(p, [(f"c{i}", g)])
+        genomes.append((str(p), [f"Sp_{i}", f"A{i:03d}.1"]))
+    built = build_index(genomes, n_shards=5)
+    assert len(built.shards) == 5
+
+    mesh = pm.make_mesh(n_data=4, n_index=2)
+    mclf = rt.Classifier(built, pl.ClassifyParams(n_slots=64),
+                         count_mode="basic", mesh=mesh)
+    sclf = rt.Classifier(built, pl.ClassifyParams(n_slots=64),
+                         count_mode="basic")
+
+    reads, labels = sample_reads(rng, seqs, 40, read_len=700,
+                                 error=(0.03, 0.02, 0.02))
+    outs = {}
+    for name, c in [("single", sclf), ("mesh", mclf)]:
+        q = tmp_path / f"q_{name}"
+        out = tmp_path / f"o_{name}"
+        q.mkdir()
+        make_fastq(q / "s1.fastq", reads)
+        reports = rt.run_once(c, q, out)
+        state = AbundanceState.load(out, c.meta.n_accessions)
+        outs[name] = (reports[0], state.samples["s1"].copy(),
+                      (q / "mapped" / "s1.fastq").read_bytes())
+    r_s, counts_s, mapped_s = outs["single"]
+    r_m, counts_m, mapped_m = outs["mesh"]
+    assert r_s.n_mapped == r_m.n_mapped >= 30
+    assert np.array_equal(counts_s, counts_m)
+    assert mapped_s == mapped_m
+
+
+def test_mesh_group_stacking_bounds_skew_hbm():
+    """One oversized shard must not multiply across every index rank's
+    HBM copy: with size-class grouping each rank's resident bytes are
+    bounded by the HEAVIEST rank's own shards (+ class rounding), not
+    by ceil(S/n_index) x max_shard as global-max rectangular stacking
+    would cost.  (A singleton big class still costs one inert padded
+    row on the other rank — the structural floor of uniform SPMD:
+    every rank runs the same static shapes.)"""
+    from monica_tpu.index.build import build_index_from_arrays
+
+    rng = np.random.default_rng(78)
+    # 1 x 4 Mb + 4 x 256 kb skew
+    sizes = [4_000_000] + [256_000] * 4
+    seqs = [rng.integers(0, 4, n).astype(np.uint8) for n in sizes]
+    built = build_index_from_arrays(seqs, n_shards=5)
+    groups, tb = pl.stack_mesh_shard_groups(built.shards, n_index=2)
+
+    per_rank = np.zeros(2, np.int64)
+    for g in groups:
+        S = np.asarray(g.ref_codes).shape[0]
+        s_local = S // 2
+        for r in range(2):
+            sl = slice(r * s_local, (r + 1) * s_local)
+            per_rank[r] += sum(np.asarray(a)[sl].nbytes for a in g)
+
+    # what the r3 layout would have cost had it even supported 5 shards
+    # on 2 ranks: every shard padded to the global max, 3 rows per rank
+    rect, _ = pl.stack_device_shards(built.shards, tag_bits=tb)
+    naive_per_rank = 3 * sum(
+        np.asarray(a)[:1].nbytes for a in rect
+    )
+    assert per_rank.max() < naive_per_rank * 0.45, (per_rank, naive_per_rank)
+
+    # heaviest-rank bound: no rank exceeds ~1.25x the max own-bytes
+    def shard_bytes(s):
+        from monica_tpu.ops import lookup as lk
+
+        table = (1 << lk.row_bits_for(s.n_minimizers)) * lk.ROW_SLOTS * 4
+        return len(s.ref_codes) * 3 + table
+
+    own = sorted(shard_bytes(s) for s in built.shards)
+    heaviest_own = max(own[-1], sum(own[:-1]))
+    assert per_rank.max() <= heaviest_own * 1.25, (per_rank, heaviest_own)
