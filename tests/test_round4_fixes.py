@@ -212,3 +212,52 @@ def test_matching_mode_uses_alignment_mlen(tmp_path):
     # ~10% error: matching bases < query length, but well over half
     assert total_m < total_q
     assert total_m > total_q * 0.5
+
+
+def test_n_containing_reads_packed_vs_raw_divergence_pinned():
+    """ADVICE r3: the 2-bit wire maps interior N to 'A', so an
+    N-spanning k-mer is a valid-looking seed on the packed path while
+    the raw (mesh Classifier) path sees code 4 and invalidates it.
+    This pins the accepted divergence: (a) at realistic N rates the
+    CLASSIFICATION (status + accession) of N-bearing reads agrees
+    between paths; (b) the documented mechanism is real — the packed
+    path keeps at least as many valid sketch slots as the raw path."""
+    import jax.numpy as jnp
+
+    from monica_tpu.align import pipeline as pl
+    from monica_tpu.io import encode as enc
+
+    rng = np.random.default_rng(44)
+    seqs = [rng.integers(0, 4, 30_000).astype(np.uint8) for _ in range(3)]
+    built = build_index_from_arrays(seqs)
+    dev, tb = pl.device_shard(built.shards[0])
+    params = pl.ClassifyParams(tag_bits=tb)
+
+    # reads with ~1% interior N (far above real nanopore N output)
+    reads = np.stack(
+        [seqs[i % 3][300 : 300 + 512].copy() for i in range(16)]
+    ).astype(np.uint8)
+    n_pos = rng.random(reads.shape) < 0.01
+    reads[n_pos] = enc.N_CODE
+    lengths = np.full(16, 512, np.int32)
+
+    res_raw, _ = pl.classify_batch(
+        dev, jnp.asarray(reads), jnp.asarray(lengths), params,
+        built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    res_pk, _ = pl.classify_batch_packed(
+        dev, jnp.asarray(enc.pack_codes_2bit(reads)), jnp.asarray(lengths),
+        512, params, built.meta.n_accessions, pl.MODE_BASIC,
+    )
+    assert np.array_equal(np.asarray(res_raw.status), np.asarray(res_pk.status))
+    assert np.array_equal(np.asarray(res_raw.acc_id), np.asarray(res_pk.acc_id))
+
+    # mechanism check: N->A creates (false-but-plausible) seeds, so the
+    # packed sketch can only have >= the raw path's valid slots
+    unpacked = pl.unpack_codes(jnp.asarray(enc.pack_codes_2bit(reads)), 512)
+    _, _, _, qv_pk = pl.sketch_batch(unpacked, jnp.asarray(lengths), params)
+    _, _, _, qv_raw = pl.sketch_batch(
+        jnp.asarray(reads), jnp.asarray(lengths), params
+    )
+    assert int(qv_pk.sum()) >= int(qv_raw.sum())
+    assert int(qv_raw.sum()) > 0
