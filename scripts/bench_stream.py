@@ -48,6 +48,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
     ap.add_argument("--read_len", type=int, default=1000)
+    ap.add_argument("--samples", type=int, default=8,
+                    help="flowcell files for the run_once overlap measurement")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -101,6 +103,48 @@ def main():
         for k, v in metrics.stages.items()
         if v.items and v.seconds > 0
     }
+
+    # --- cross-sample overlap (VERDICT r3 item 4): run_once pipelines
+    # parse(i+1) / dispatch(i) / route(i-1) across samples on worker
+    # threads; measure it against a strictly serial process_sample loop
+    # over the same files.
+    per_sample = max(args.reads // args.samples, 4096)
+    sample_codes = [
+        make_reads(seqs, rng, per_sample) for _ in range(args.samples)
+    ]
+
+    def write_all(folder: Path):
+        for sub in ("", "mapped", "unmapped", "ambiguous"):
+            (folder / sub).mkdir(parents=True, exist_ok=True)
+        for f in folder.glob("*.fastq"):
+            f.unlink()
+        for i, c in enumerate(sample_codes):
+            write_fastq(folder / f"fc{i}.fastq", c)
+
+    total = per_sample * args.samples
+    qs = Path("/tmp/bench_stream_serial")
+    write_all(qs)
+    sfolders = rt.RouteFolders.create(qs, with_focus=False)
+    t0 = time.time()
+    for i in range(args.samples):
+        rt.process_sample(clf, qs / f"fc{i}.fastq", sfolders, state, delete=True)
+    serial_s = time.time() - t0
+
+    qp = Path("/tmp/bench_stream_pipe")
+    write_all(qp)
+    op = Path("/tmp/bench_stream_pipe_out")
+    op.mkdir(exist_ok=True)
+    t0 = time.time()
+    reports = rt.run_once(clf, qp, op)
+    pipe_s = time.time() - t0
+    assert sum(r.n_reads for r in reports) == total
+    overlap = {
+        "samples": args.samples,
+        "reads_per_sample": per_sample,
+        "serial_reads_per_s": round(total / serial_s, 1),
+        "pipelined_reads_per_s": round(total / pipe_s, 1),
+        "overlap_speedup": round(serial_s / pipe_s, 3),
+    }
     payload = {
         "metric": "end_to_end_stream_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -113,6 +157,7 @@ def main():
         "n_ambiguous": rep.n_ambiguous,
         "index_build_s": round(build_s, 1),
         "stage_reads_per_s": stages,
+        "cross_sample_overlap": overlap,
         "note": "per-batch fetch RTT ~25 ms through the tunnel bounds this "
                 "harness; device-only rate is in PERF_r03.json headline",
     }
