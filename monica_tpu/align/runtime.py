@@ -848,18 +848,31 @@ def watch(
     (None = run forever).
 
     Multi-host: run_once is a collective whenever ANY host has samples,
-    so all hosts must keep calling it — use ``max_idle_polls=None``
-    (every host polls forever at the same cadence) unless the hosts'
-    flowcell feeds are known to go quiet together."""
+    so every host must keep calling it at the same cadence.  The idle
+    counter is therefore SYNCHRONIZED across hosts (a pass counts as
+    non-idle if ANY host got samples), so all hosts reach
+    ``max_idle_polls`` — and exit — together instead of one host
+    leaving the others hung on a collective."""
     all_reports: list[SampleReport] = []
+    multiproc = _is_multiprocess(classifier)
     idle = 0
     while True:
         reports = run_once(classifier, query_folder, output_folder, **kwargs)
+        any_got = bool(reports)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            any_got = bool(
+                np.asarray(
+                    multihost_utils.process_allgather(np.int32(any_got))
+                ).max()
+            )
         if reports:
-            idle = 0
             all_reports.extend(reports)
             if on_batch is not None:
                 on_batch(reports)
+        if any_got:
+            idle = 0
         else:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:
