@@ -279,7 +279,7 @@ def _pad_batch_to_rows(batch: "enc.ReadBatch", rows: int) -> "enc.ReadBatch":
 _MAX_SCHED_SLOTS = 512  # batches per sample in the allgathered plan
 
 
-def _sync_batch_schedule(batches: list, mult: int) -> list:
+def _sync_batch_schedule(batches: list) -> list:
     """Agree on a common dispatch schedule across processes and return
     this process's (padded/extended) lockstep batch list.
 
@@ -513,7 +513,7 @@ def _dispatch_sample(classifier, prepared: _PreparedSample, multiproc: bool):
     if multiproc:
         # collective-program shape agreement (see module comment above
         # _sync_batch_schedule); every host dispatches the same shapes
-        batches = _sync_batch_schedule(batches, classifier.batch_row_multiple())
+        batches = _sync_batch_schedule(batches)
     return [(b, classifier.classify(b.codes, b.lengths)) for b in batches]
 
 

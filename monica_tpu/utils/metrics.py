@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -27,6 +28,10 @@ class StageStat:
 class Metrics:
     stages: dict[str, StageStat] = field(default_factory=dict)
     verbose: bool = True
+    # the streaming runtime updates stages from worker threads
+    # (run_once's cross-sample pipeline); per-sample stage names are
+    # unique, but shared counters like "bases" need the lock
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @contextlib.contextmanager
     def stage(self, name: str, items: int = 0):
@@ -35,19 +40,21 @@ class Metrics:
             yield
         finally:
             dt = time.perf_counter() - t0
-            st = self.stages.setdefault(name, StageStat())
-            st.seconds += dt
-            st.calls += 1
-            st.items += items
+            with self._lock:
+                st = self.stages.setdefault(name, StageStat())
+                st.seconds += dt
+                st.calls += 1
+                st.items += items
             if self.verbose:
                 rate = f", {items / dt:,.0f}/s" if items and dt > 0 else ""
                 print(f"[monica_tpu] {name}: {dt:.3f}s{rate}")
 
     def add(self, name: str, seconds: float, items: int = 0) -> None:
-        st = self.stages.setdefault(name, StageStat())
-        st.seconds += seconds
-        st.calls += 1
-        st.items += items
+        with self._lock:
+            st = self.stages.setdefault(name, StageStat())
+            st.seconds += seconds
+            st.calls += 1
+            st.items += items
 
     def rate(self, name: str) -> float:
         st = self.stages.get(name)
