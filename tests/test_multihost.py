@@ -100,3 +100,42 @@ def test_two_process_product_run_once(tmp_path):
     # per-host tables cover each host's own samples (union = global)
     assert "alpha:" in ok0 and "beta:" in ok0
     assert "gamma:" in ok1
+
+
+@pytest.mark.timeout(300)
+def test_two_process_watch_synchronized_exit(tmp_path):
+    """watch() under jax.distributed: a feeder drops a late batch on
+    host 0 only; the synchronized idle counter must make BOTH hosts
+    keep polling through it and then exit together (without the sync,
+    host 1 would hit max_idle_polls first and leave host 0 hung on a
+    collective)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = str(REPO / "tests" / "multihost_watch_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", f"127.0.0.1:{port}", str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    deadline = time.time() + 240
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(deadline - time.time(), 1))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    assert (tmp_path / "watch_ok_0").read_text() == "h0b1,h0b2"
+    assert (tmp_path / "watch_ok_1").read_text() == "h1b1"
