@@ -263,19 +263,6 @@ def _is_multiprocess(classifier: "Classifier") -> bool:
     return jax.process_count() > 1
 
 
-def _pad_batch_to_rows(batch: "enc.ReadBatch", rows: int) -> "enc.ReadBatch":
-    n = len(batch)
-    if rows == n:
-        return batch
-    codes = np.full((rows, batch.bucket_len), enc.PAD_CODE, dtype=np.uint8)
-    codes[:n] = batch.codes
-    lengths = np.zeros(rows, dtype=np.int32)
-    lengths[:n] = batch.lengths
-    idx = np.full(rows, -1, dtype=np.int32)
-    idx[:n] = batch.idx
-    return enc.ReadBatch(codes, lengths, idx)
-
-
 _MAX_SCHED_SLOTS = 512  # batches per sample in the allgathered plan
 
 
@@ -340,7 +327,7 @@ def _sync_batch_schedule(batches: list) -> list:
                     np.zeros(0, np.int32),
                 )
             )
-            out.append(_pad_batch_to_rows(b, rows))
+            out.append(enc.pad_rows(b, target=rows))
     return out
 
 
@@ -696,18 +683,62 @@ def run_once(
     folders = RouteFolders.create(query_folder, with_focus=bool(focus_taxa))
     state = AbundanceState.load(output_folder, classifier.meta.n_accessions)
     reports = []
+    try:
+        reports = _run_once_samples(
+            classifier, samples, folders, state, query_folder, multiproc,
+            focus_taxa, overnight, delete, metrics, max_batch,
+        )
+    finally:
+        # counts accumulated before a mid-pass failure belong to
+        # already-consumed (deleted) inputs — always persist them
+        state.save(output_folder)
+    return reports
+
+
+def _run_once_samples(
+    classifier, samples, folders, state, query_folder, multiproc,
+    focus_taxa, overnight, delete, metrics, max_batch,
+) -> list[SampleReport]:
     if not multiproc and len(samples) > 1:
         # single-process multi-sample: overlap host stages across
         # samples (parse i+1 / route i-1 on workers while the device
         # runs i — the reference's ThreadPool over samples analog)
-        reports = _run_pipelined(
+        return _run_pipelined(
             classifier, samples, folders, state, query_folder,
             focus_taxa, overnight, delete, metrics or Metrics(verbose=False),
             max_batch,
         )
-        state.save(output_folder)
-        return reports
+    reports: list[SampleReport] = []
+    mt = metrics or Metrics(verbose=False)
     for s in samples:
+        if multiproc:
+            # Only the PRE-COLLECTIVE stage (parse/encode) may be
+            # quarantined: substituting an inert filler for a failed
+            # parse keeps every host's collective sequence aligned.  A
+            # failure AFTER dispatch (routing I/O, device error) is NOT
+            # recoverable per-sample — collectives for this slot are
+            # already in flight on the peers, and injecting extra ones
+            # would desynchronize the pod — so it propagates (the run
+            # dies loudly rather than deadlocking every host).
+            try:
+                prepared = _prepare_sample(
+                    classifier, s, enc.DEFAULT_BUCKETS, max_batch, mt
+                )
+            except Exception as e:
+                _quarantine_sample(query_folder, s, e)
+                prepared = _prepare_sample(
+                    classifier, None, enc.DEFAULT_BUCKETS, max_batch, mt
+                )
+            t0 = time.perf_counter()
+            pending = _dispatch_sample(classifier, prepared, True)
+            rep = _finish_sample(
+                classifier, prepared, pending, folders, state,
+                focus_taxa=focus_taxa, overnight=overnight, delete=delete,
+                metrics=mt, t0=t0,
+            )
+            if prepared.sample_path is not None:
+                reports.append(rep)
+            continue
         try:
             rep = process_sample(
                 classifier,
@@ -720,27 +751,21 @@ def run_once(
                 metrics=metrics,
                 max_batch=max_batch,
             )
-            if s is not None:
-                reports.append(rep)
+            reports.append(rep)
         except Exception as e:  # quarantine, keep the run alive
-            failed = query_folder / FAILED_DIR
-            failed.mkdir(parents=True, exist_ok=True)
-            target = failed / s.name
-            try:
-                s.replace(target)
-            except OSError:
-                pass
-            print(f"sample {s.name} failed ({e}); quarantined to {target}")
-            if multiproc:
-                # keep the other hosts' lockstep slots aligned: parse
-                # failures happen before any collective dispatch, so an
-                # inert filler fills this sample's slot
-                process_sample(
-                    classifier, None, folders, state,
-                    metrics=metrics, max_batch=max_batch,
-                )
-    state.save(output_folder)
+            _quarantine_sample(query_folder, s, e)
     return reports
+
+
+def _quarantine_sample(query_folder: Path, s, e: BaseException) -> None:
+    failed = query_folder / FAILED_DIR
+    failed.mkdir(parents=True, exist_ok=True)
+    target = failed / s.name
+    try:
+        s.replace(target)
+    except OSError:
+        pass
+    print(f"sample {s.name} failed ({e}); quarantined to {target}")
 
 
 def _run_pipelined(
@@ -780,6 +805,7 @@ def _run_pipelined(
         print(f"sample {path.name} failed ({e}); quarantined to {target}")
 
     PREFETCH = 2
+    MAX_IN_FLIGHT = 2  # samples dispatched but not yet routed
     with ThreadPoolExecutor(max_workers=2) as parse_pool, ThreadPoolExecutor(
         max_workers=2
     ) as route_pool:
@@ -790,7 +816,15 @@ def _run_pipelined(
             )
             for s in samples[:PREFETCH]
         ]
-        route_futs = []
+        route_futs: list = []
+
+        def drain_oldest():
+            s_done, f_done = route_futs.pop(0)
+            try:
+                reports.append(f_done.result())
+            except Exception as e:
+                quarantine(Path(s_done), e)
+
         for i, s in enumerate(samples):
             try:
                 prepared = parse_futs[i].result()
@@ -812,8 +846,18 @@ def _run_pipelined(
                     prepared.sample_path.unlink(missing_ok=True)
                 reports.append(prepared.rep)
                 continue
+            # backpressure: keep at most MAX_IN_FLIGHT samples between
+            # dispatch and route, so a long folder backlog does not
+            # accumulate every sample's batches + device handles in
+            # memory (the claimed ~2-sample bound, made real)
+            while len(route_futs) >= MAX_IN_FLIGHT:
+                drain_oldest()
             t0 = time.perf_counter()
-            pending = _dispatch_sample(classifier, prepared, False)
+            try:
+                pending = _dispatch_sample(classifier, prepared, False)
+            except Exception as e:  # bad batch shapes, device errors
+                quarantine(Path(s), e)
+                continue
             route_futs.append(
                 (
                     s,
@@ -824,11 +868,8 @@ def _run_pipelined(
                     ),
                 )
             )
-        for s, f in route_futs:
-            try:
-                reports.append(f.result())
-            except Exception as e:
-                quarantine(Path(s), e)
+        while route_futs:
+            drain_oldest()
     return reports
 
 

@@ -47,13 +47,6 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
     (~400 MB/64 Mbase — same order as minimap2's 16x-FASTA .mmi)."""
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
-    # a re-save into an existing folder must not leave stale shard
-    # files behind (a prior v1 .npz save, or a prior save with more
-    # shards): load follows the manifest so stale files are never
-    # *read*, but they waste disk and confuse inspection (ADVICE r3).
-    # Removing them first also makes a partial prior save harmless.
-    for old in folder.glob("shard*"):
-        old.unlink(missing_ok=True)
     meta = index.meta
     manifest = {
         "format": "monica_tpu.index.v2",
@@ -66,11 +59,31 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
         "accessions": meta.accessions,
         "genome_lengths": [int(x) for x in meta.genome_lengths],
     }
-    with open(folder / MANIFEST, "w") as fh:
-        json.dump(manifest, fh)
+    # Crash-safe re-save: (1) write every new array under a .tmp.npy
+    # name, (2) atomically rename into place, (3) write the manifest,
+    # (4) remove stale shard files from a prior save (a v1 .npz, or
+    # more shards than now — load follows the manifest so stale files
+    # are never read, but they waste disk, ADVICE r3).  A failure
+    # during (1) — ENOSPC, crash — leaves the previous index fully
+    # loadable; deleting old files FIRST would destroy the only copy
+    # on a failed save.
+    live: set[str] = set()
     for i, sh in enumerate(index.shards):
         for name in _SHARD_FIELDS:
-            np.save(folder / f"shard{i}.{name}.npy", getattr(sh, name))
+            fname = f"shard{i}.{name}.npy"
+            live.add(fname)
+            np.save(folder / f"shard{i}.{name}.tmp.npy", getattr(sh, name))
+    for i, sh in enumerate(index.shards):
+        for name in _SHARD_FIELDS:
+            os.replace(
+                folder / f"shard{i}.{name}.tmp.npy",
+                folder / f"shard{i}.{name}.npy",
+            )
+    with open(folder / MANIFEST, "w") as fh:
+        json.dump(manifest, fh)
+    for old in folder.glob("shard*"):
+        if old.name not in live:
+            old.unlink(missing_ok=True)
     return folder
 
 

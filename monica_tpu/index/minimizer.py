@@ -196,13 +196,34 @@ def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT
     import jax
     import jax.numpy as jnp
 
-    h, keep, s = sketch_array(codes, k, w, jnp, frac=frac)
+    h, s = kmer_hashes(codes, k, jnp)
     B, m = h.shape
     seg = -(-m // n_slots)  # segment length (ceil)
     pad_to = seg * n_slots
     pad = pad_to - m
 
-    key = jnp.where(keep, h, jnp.uint32(INVALID_HASH))
+    if seg >= w and frac >= 1.0:
+        # The winnowing keep-mask is REDUNDANT here: each slot takes its
+        # segment's argmin hash, and with seg >= w that position is
+        # always a w-window minimum — some w-window lies fully inside
+        # the segment and contains it (start in [p-w+1, p] ∩
+        # [seg_start, seg_start+seg-w], nonempty for seg >= w), and the
+        # segment min is the min of that window.  Equal-hash ties are
+        # all winnow-kept, so argmin's first-occurrence choice matches
+        # too: the selected (hash, pos) set is BIT-IDENTICAL to the
+        # winnow-then-argmin path (tested) while skipping the ~8
+        # shifted min/max passes of select_minimizers — the sketch
+        # stage is the largest single cost of the pipeline (PERF_r04).
+        # (Only true tail segments shortened below w by read end/padding
+        # can select a non-winnowed position; such a seed just misses
+        # in the index — a sub-seed-level sensitivity effect.)
+        key = h
+    else:
+        # short segments (the <=512 bp bucket at n_slots=128) or scaled
+        # winnowing: the index keeps winnow ∧ (hash <= frac*2^32), so
+        # the read side must select from exactly that set
+        keep = select_minimizers(h, w, jnp, frac=frac)
+        key = jnp.where(keep, h, jnp.uint32(INVALID_HASH))
     if pad:
         fill = jnp.full((B, pad), INVALID_HASH, dtype=key.dtype)
         key = jnp.concatenate([key, fill], axis=-1)

@@ -164,13 +164,15 @@ def bucketize_reads(
     return out
 
 
-def pad_rows(batch: ReadBatch, multiple: int) -> ReadBatch:
-    """Pad the batch row count up to a multiple (for even mesh sharding).
+def pad_rows(batch: ReadBatch, multiple: int = 1, target: int | None = None) -> ReadBatch:
+    """Pad the batch row count up to a multiple (for even mesh sharding)
+    or to an exact ``target`` row count (multi-host lockstep schedules).
 
     Padded rows have length 0 and idx -1; the pipeline masks them out.
     """
     n = len(batch)
-    target = -(-n // multiple) * multiple
+    if target is None:
+        target = -(-n // multiple) * multiple
     if target == n:
         return batch
     codes = np.full((target, batch.bucket_len), PAD_CODE, dtype=np.uint8)

@@ -209,8 +209,15 @@ def resolve_mesh(n_data: int, n_shards: int):
     n_dev = len(jax.devices())
     auto = n_data == -1
     if auto:
-        n_index = min(max(n_shards, 1), n_dev)
-        n_data = max(n_dev // n_index, 1)
+        # largest DIVISOR of the device count that is <= n_shards: uses
+        # every device (a non-divisor index axis would idle the
+        # remainder and collapse data parallelism — e.g. 5 shards on 8
+        # devices must become (data=2, index=4), not (data=1, index=5))
+        n_index = max(
+            d for d in range(1, n_dev + 1)
+            if n_dev % d == 0 and d <= max(n_shards, 1)
+        )
+        n_data = n_dev // n_index
     else:
         if n_data > n_dev:
             raise SystemExit(
@@ -221,6 +228,16 @@ def resolve_mesh(n_data: int, n_shards: int):
     need = n_data * n_index
     if need == 1:
         return None  # degenerate mesh: stacked single-device path
+    if jax.process_count() > 1 and need != n_dev:
+        # a mesh over a device SUBSET can strand some hosts' devices
+        # entirely, breaking the per-process feed contract
+        # (make_array_from_process_local_data needs every process to
+        # own data-axis rows) — refuse rather than deadlock
+        raise SystemExit(
+            f"multi-host mesh must span all {n_dev} devices, but "
+            f"n_data={n_data} x n_index={n_index} = {need}; adjust "
+            "--n_data/-n (or use --n_data auto)"
+        )
     return pm.make_mesh(n_data=n_data, n_index=n_index, devices=jax.devices()[:need])
 
 

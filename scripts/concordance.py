@@ -142,7 +142,18 @@ def main():
     strain_ok = True
     for r in strain_rows:
         ani = r.get("ani")
-        if ani is not None and ani <= 0.99 and r["precision"] is not None:
+        if ani is not None and ani <= 0.97:
+            # discriminable regime: a meaningful fraction MUST map
+            # (guards against the gate passing vacuously because a
+            # regression routed everything to ambiguous/unmapped:
+            # precision=None would otherwise skip every check), and
+            # what maps must be right
+            strain_ok &= r["mapped"] >= r["reads"] * 0.25
+            strain_ok &= (
+                r["precision"] is not None
+                and r["precision"] >= PRECISION_TARGET
+            )
+        elif ani is not None and ani <= 0.99 and r["precision"] is not None:
             strain_ok &= r["precision"] >= PRECISION_TARGET
         if ani is not None and ani > 0.995:
             strain_ok &= r["wrong"] <= max(r["reads"] * 0.01, 1)

@@ -124,3 +124,44 @@ def test_sketch_reads_jax_slots():
             assert bool(ss[b, j]) == bool(s_np[b, p])
     # winnowing guarantees most segments populated
     assert n_valid > 3 * n_slots * 0.6
+
+
+def test_segment_min_selection_equals_winnow_path():
+    """sketch_reads_jax's fast path (seg >= w: skip the winnowing mask)
+    must select BIT-IDENTICAL slots to the winnow-then-argmin path —
+    the segment argmin is provably a w-window minimum (PERF_r04)."""
+    import jax.numpy as jnp
+
+    from monica_tpu.index import minimizer as mz
+
+    rng = np.random.default_rng(50)
+    for L, n_slots in [(1024, 64), (2048, 64), (4096, 64)]:
+        codes = rng.integers(0, 4, (16, L)).astype(np.uint8)
+        codes[0, 100:130] = 4  # an N stretch
+        codes[1, -40:] = 4     # padded tail
+        h, keep, s = mz.sketch_array(codes, mz.K_DEFAULT, mz.W_DEFAULT, jnp)
+        B, m = h.shape
+        seg = -(-m // n_slots)
+        assert seg >= mz.W_DEFAULT  # fast path engaged
+
+        # reference: the explicit winnow-mask path
+        key = jnp.where(keep, h, jnp.uint32(mz.INVALID_HASH))
+        pad = seg * n_slots - m
+        if pad:
+            key = jnp.concatenate(
+                [key, jnp.full((B, pad), mz.INVALID_HASH, key.dtype)], axis=-1
+            )
+        key3 = key.reshape(B, n_slots, seg)
+        ref_h = np.asarray(jnp.min(key3, axis=-1))
+        ref_off = np.asarray(jnp.argmin(key3, axis=-1))
+        ref_pos = np.minimum(
+            ref_off + np.arange(n_slots)[None, :] * seg, m - 1
+        )
+
+        hh, pos, ss, valid = mz.sketch_reads_jax(codes, n_slots)
+        got_h = np.asarray(hh)
+        got_valid = np.asarray(valid)
+        ref_valid = ref_h != mz.INVALID_HASH
+        assert np.array_equal(got_valid, ref_valid)
+        assert np.array_equal(got_h[got_valid], ref_h[ref_valid])
+        assert np.array_equal(np.asarray(pos)[got_valid], ref_pos[ref_valid])
