@@ -122,15 +122,17 @@ def sketch_long_sequence(
     of chunk length; at 2^19 bases they stay L2/L3-resident and the
     whole sketch runs 5x faster than at 2^23 (measured: 24 Mbase in
     0.9 s vs 4.8 s), cutting 64 Mbase index builds from ~14 s to ~4 s.
+    Chunks are independent, so they run on a small thread pool (numpy
+    releases the GIL on the large array ops); order is preserved by
+    ``ex.map``, keeping output bit-identical to the serial loop.
     """
     n = len(codes)
     if n < k:
         e = np.zeros(0)
         return e.astype(np.uint32), e.astype(np.int64), e.astype(np.uint8)
     overlap = 2 * w + k
-    hashes_l, pos_l, strand_l = [], [], []
-    start = 0
-    while start < n - k + 1:
+
+    def sketch_chunk(start: int):
         stop = min(n, start + chunk)
         lo = max(0, start - overlap)
         hi = min(n, stop + overlap)
@@ -139,10 +141,23 @@ def sketch_long_sequence(
         gpos = sel + lo
         own = (gpos >= start) & (gpos < stop)
         sel, gpos = sel[own], gpos[own]
-        hashes_l.append(h[0][sel].astype(np.uint32))
-        pos_l.append(gpos.astype(np.int64))
-        strand_l.append(s[0][sel].astype(np.uint8))
-        start = stop
+        return (
+            h[0][sel].astype(np.uint32),
+            gpos.astype(np.int64),
+            s[0][sel].astype(np.uint8),
+        )
+
+    starts = list(range(0, n - k + 1, chunk))
+    if len(starts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(starts))) as ex:
+            parts = list(ex.map(sketch_chunk, starts))
+    else:
+        parts = [sketch_chunk(s0) for s0 in starts]
+    hashes_l = [p[0] for p in parts]
+    pos_l = [p[1] for p in parts]
+    strand_l = [p[2] for p in parts]
     return (
         np.concatenate(hashes_l) if hashes_l else np.zeros(0, np.uint32),
         np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64),
