@@ -108,7 +108,7 @@ class BuiltIndex:
 
 def sketch_long_sequence(
     codes: np.ndarray, k: int, w: int, chunk: int = 1 << 19,
-    frac: float = mz.FRAC_DEFAULT,
+    frac: float = mz.FRAC_DEFAULT, workers: int = 4,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Chunked host sketch of one flat code array.
 
@@ -148,10 +148,10 @@ def sketch_long_sequence(
         )
 
     starts = list(range(0, n - k + 1, chunk))
-    if len(starts) > 1:
+    if len(starts) > 1 and workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(4, len(starts))) as ex:
+        with ThreadPoolExecutor(max_workers=min(workers, len(starts))) as ex:
             parts = list(ex.map(sketch_chunk, starts))
     else:
         parts = [sketch_chunk(s0) for s0 in starts]
@@ -261,10 +261,15 @@ def _build_shards_threaded(
         ]
     from concurrent.futures import ThreadPoolExecutor
 
+    # shard threads already saturate the cores: the inner chunk-sketch
+    # pool would multiply to shard_threads x 4 concurrent numpy jobs
+    # (cache thrash + ~4x temporary memory), so it is disabled here
     with ThreadPoolExecutor(max_workers=min(len(assignment), 8)) as ex:
         return list(
             ex.map(
-                lambda m: _build_shard(m, units, k, w, guard, frac, occ_cap),
+                lambda m: _build_shard(
+                    m, units, k, w, guard, frac, occ_cap, sketch_workers=1
+                ),
                 assignment,
             )
         )
@@ -278,6 +283,7 @@ def _build_shard(
     guard: int,
     frac: float,
     occ_cap: int = OCC_CAP,
+    sketch_workers: int = 4,
 ) -> IndexShard:
     """Pack the member units, sketch, sort, attribute.
 
@@ -297,7 +303,9 @@ def _build_shard(
             "max_shard_bytes (packed lookup entries need >= 5 tag bits, "
             "ops/lookup.py MIN_TAG_BITS)"
         )
-    h, pos, strand = sketch_long_sequence(packed.codes, k, w, frac=frac)
+    h, pos, strand = sketch_long_sequence(
+        packed.codes, k, w, frac=frac, workers=sketch_workers
+    )
     order = np.argsort(h, kind="stable")
     if occ_cap and len(order):
         hs = h[order]

@@ -61,9 +61,13 @@ def fmix32(xp, h):
 
 
 def _shift_fill(xp, x, s, fill):
-    """x shifted left by s positions (x[i] := x[i+s]), tail filled."""
+    """x shifted left by s positions (x[i] := x[i+s]), tail filled.
+    A shift past the width yields an all-fill array (short sequences:
+    a w-window pass over an m < w hash array must not widen it)."""
     if s == 0:
         return x
+    if s >= x.shape[-1]:
+        return xp.full(x.shape, fill, dtype=x.dtype)
     pad = xp.full(x.shape[:-1] + (s,), fill, dtype=x.dtype)
     return xp.concatenate([x[..., s:], pad], axis=-1)
 
@@ -244,7 +248,7 @@ def sketch_reads_jax(codes, n_slots: int, k: int = K_DEFAULT, w: int = W_DEFAULT
     )
     st = s
     if pad:
-        pos = pos  # iota already covers the padded width
+        # (pos needs no padding: its iota already covers the full width)
         st = jnp.concatenate([st, jnp.zeros((B, pad), dtype=s.dtype)], axis=-1)
     def combine(val, pos, st, dist):
         v2 = _shift_fill(jnp, val, dist, jnp.uint32(INVALID_HASH))
