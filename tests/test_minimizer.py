@@ -165,3 +165,18 @@ def test_segment_min_selection_equals_winnow_path():
         assert np.array_equal(got_valid, ref_valid)
         assert np.array_equal(got_h[got_valid], ref_h[ref_valid])
         assert np.array_equal(np.asarray(pos)[got_valid], ref_pos[ref_valid])
+
+
+def test_sketch_long_sequence_short_inputs():
+    """Sequences barely longer than k (m < w) must sketch, not crash:
+    _shift_fill past the array width now yields an all-fill array
+    (review r4 finding; previously a numpy broadcast ValueError)."""
+    from monica_tpu.index.build import sketch_long_sequence
+
+    rng = np.random.default_rng(60)
+    for n in (15, 16, 18, 20, 24, 40):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        h, p, s = sketch_long_sequence(codes, 15, 10)
+        assert len(h) == len(p) == len(s)
+        if n >= 15:
+            assert len(h) >= 1  # at least one window minimum survives
