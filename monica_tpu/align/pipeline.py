@@ -409,31 +409,51 @@ def classify_shard(
             & (lengths > 0)
         )
         n_slots = max(int(B * params.rescue_frac), 1)
-        order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
-        idx = order[:n_slots]
-        take = lambda x: jnp.take(x, idx, axis=0)
-        ext = ex.extend_hits(
-            index.ref_codes,
-            take(codes),
-            take(lengths),
-            take(res.rep_ref_pos),
-            take(res.rep_read_pos),
-            take(res.rc),
-            k=params.k,
-            p=ex.ExtendParams(band=params.band),
-            impl=params.extend_impl,
+
+        def with_rescue(_):
+            order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
+            idx = order[:n_slots]
+            take = lambda x: jnp.take(x, idx, axis=0)
+            ext = ex.extend_hits(
+                index.ref_codes,
+                take(codes),
+                take(lengths),
+                take(res.rep_ref_pos),
+                take(res.rep_read_pos),
+                take(res.rc),
+                k=params.k,
+                p=ex.ExtendParams(band=params.band),
+                impl=params.extend_impl,
+            )
+            ok = take(cand) & (ext.inv_identity <= params.rescue_nm_rate)
+            rescued = jnp.zeros((B,), bool).at[idx].set(ok)
+            inv_sc = jnp.zeros((B,), inv_identity.dtype).at[idx].set(
+                jnp.where(ok, ext.inv_identity, 0.0)
+            )
+            mlen_sc = jnp.zeros((B,), mlen.dtype).at[idx].set(
+                jnp.where(ok, ext.mlen.astype(mlen.dtype), 0.0)
+            )
+            return rescued, inv_sc, mlen_sc
+
+        def without_rescue(_):
+            return (
+                jnp.zeros((B,), bool),
+                jnp.zeros((B,), inv_identity.dtype),
+                jnp.zeros((B,), mlen.dtype),
+            )
+
+        # a clean batch has NO rescue candidates; lax.cond executes a
+        # single branch at runtime on TPU, so the banded-SW cost
+        # (~1.1 ms / 2048 batch) is paid only when something can
+        # actually be rescued.  With zero candidates the old
+        # unconditional path extended 256 arbitrary rows and masked
+        # every verdict to False — identical results, wasted cells.
+        rescued, inv_sc, mlen_sc = jax.lax.cond(
+            jnp.any(cand), with_rescue, without_rescue, operand=None
         )
-        ok = take(cand) & (ext.inv_identity <= params.rescue_nm_rate)
-        rescued = jnp.zeros((B,), bool).at[idx].set(ok)
         passed = passed | rescued
         # rescued reads report their alignment identity; everyone else
         # keeps the statistical estimate
-        inv_sc = jnp.zeros((B,), inv_identity.dtype).at[idx].set(
-            jnp.where(ok, ext.inv_identity, 0.0)
-        )
-        mlen_sc = jnp.zeros((B,), mlen.dtype).at[idx].set(
-            jnp.where(ok, ext.mlen.astype(mlen.dtype), 0.0)
-        )
         inv_identity = jnp.where(rescued, inv_sc, inv_identity)
         mlen = jnp.where(rescued, mlen_sc, mlen)
 
