@@ -57,3 +57,46 @@ def test_extension_refines_identity_and_keeps_assignments(small_index):
     lens = np.asarray(batch.lengths)[m1]
     assert np.all(mlen <= lens)
     assert np.median(mlen / lens) > 0.75
+
+
+def test_rescue_flips_low_seed_reads_and_skips_clean_batches(small_index):
+    """The budgeted rescue path (now under lax.cond): noisy short reads
+    that fail the vote gate get flipped to MAPPED by alignment
+    identity, while a clean batch (zero candidates -> the cond's skip
+    branch) produces results identical to the vote-only pipeline."""
+    import jax.numpy as jnp
+
+    from monica_tpu.io.encode import bucketize_reads
+    from tests.fixtures import sample_reads
+
+    built, seqs = small_index
+    dev, tb = pl.device_shard(built.shards[0])
+    n_acc = built.meta.n_accessions
+    rng = np.random.default_rng(70)
+
+    def classify(reads, params):
+        (b,) = bucketize_reads(reads)
+        res, _ = pl.classify_batch(
+            dev, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+            params._replace(tag_bits=tb), n_acc, pl.MODE_BASIC,
+        )
+        return np.asarray(res.status)
+
+    # high-error short reads: many fail the vote/mapq gate
+    noisy, labels = sample_reads(
+        rng, seqs, 64, read_len=300, error=(0.08, 0.05, 0.05)
+    )
+    st_rescue = classify(noisy, pl.ClassifyParams(extend_mode="rescue"))
+    st_off = classify(noisy, pl.ClassifyParams(extend=False))
+    flipped = ((st_rescue == pl.MAPPED) & (st_off == pl.UNMAPPED)).sum()
+    assert flipped > 0, "rescue flipped nothing at r9_old error rates"
+    # rescue never un-maps a vote-passed read
+    assert not ((st_rescue == pl.UNMAPPED) & (st_off == pl.MAPPED)).any()
+
+    # clean reads: no candidates, the skip branch runs — identical to
+    # the vote-only pipeline
+    clean, _ = sample_reads(rng, seqs, 64, read_len=300, error=(0, 0, 0))
+    st_clean_rescue = classify(clean, pl.ClassifyParams(extend_mode="rescue"))
+    st_clean_off = classify(clean, pl.ClassifyParams(extend=False))
+    assert np.array_equal(st_clean_rescue, st_clean_off)
+    assert (st_clean_rescue == pl.MAPPED).mean() > 0.9
