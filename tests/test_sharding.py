@@ -161,3 +161,60 @@ def test_mesh_group_stacking_bounds_skew_hbm():
     own = sorted(shard_bytes(s) for s in built.shards)
     heaviest_own = max(own[-1], sum(own[:-1]))
     assert per_rank.max() <= heaviest_own * 1.25, (per_rank, heaviest_own)
+
+
+def test_resolve_mesh_divisor_policy(monkeypatch):
+    """Auto mode picks the largest device-count divisor <= n_shards
+    (all devices used, data parallelism preserved); explicit n_data
+    clamps the index axis to fit."""
+    from monica_tpu.orchestrate import resolve_mesh
+
+    # 8 devices, 5 shards: (data=2, index=4), not (1, 5)
+    mesh = resolve_mesh(-1, 5)
+    assert dict(mesh.shape) == {"data": 2, "index": 4}
+    # 8 devices, 3 shards: divisors <= 3 -> index=2
+    mesh = resolve_mesh(-1, 3)
+    assert dict(mesh.shape) == {"data": 4, "index": 2}
+    # 8 devices, 16 shards: index axis caps at 8 -> (1, 8) degenerates
+    # data to 1 but uses all devices for index
+    mesh = resolve_mesh(-1, 16)
+    assert dict(mesh.shape) == {"data": 1, "index": 8}
+    # explicit n_data=4 with 5 shards: index = 8//4 = 2
+    mesh = resolve_mesh(4, 5)
+    assert dict(mesh.shape) == {"data": 4, "index": 2}
+    # single device need -> None (stacked path)
+    assert resolve_mesh(1, 5) is None
+
+
+def test_fetch_local_rows_single_process():
+    """fetch_local_rows reassembles a data-sharded array's rows in
+    global order, deduping index-axis replicas."""
+    import jax
+
+    from monica_tpu.parallel import mesh as pm
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = pm.make_mesh(n_data=4, n_index=2)
+    x = np.arange(32, dtype=np.int32).reshape(8, 4)
+    gx = jax.device_put(x, NamedSharding(mesh, P(pm.DATA_AXIS, None)))
+    got = pm.fetch_local_rows(gx)
+    assert np.array_equal(got, x)
+
+
+def test_sync_batch_schedule_slot_overflow():
+    """A sample needing more than the allgather plan capacity fails
+    with a clear message instead of silently truncating."""
+    import pytest
+
+    from monica_tpu.align import runtime as rt
+    from monica_tpu.io import encode as enc
+
+    batches = [
+        enc.ReadBatch(
+            np.zeros((4, 512), np.uint8), np.zeros(4, np.int32),
+            np.zeros(4, np.int32),
+        )
+        for _ in range(rt._MAX_SCHED_SLOTS + 1)
+    ]
+    with pytest.raises(ValueError, match="max_batch"):
+        rt._sync_batch_schedule(batches)
