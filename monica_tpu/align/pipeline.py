@@ -268,6 +268,16 @@ class ClassifyParams(NamedTuple):
     # they should.  Single-shard tie semantics are untouched (exact
     # f2==f1 inside classify_shard).
     tie_rel_tol: float = 0.10
+    # cross-shard tie band in VOTE space: shards tie when their vote
+    # counts differ by <= vote_tie_sd * sqrt(best_votes) (the sampling
+    # noise of the vote statistic is ~Poisson; measured cross-shard
+    # deltas on byte-identical copies are 0-5 votes of ~30 while a 3%-
+    # divergent strain sits ~11 votes below the true locus at 1 kb —
+    # PARITY_r05.json shared-read rows).  The cost-space band above is
+    # the same test after a 1/(k*f1) amplification that makes low-vote
+    # reads escape; the vote-space band closes that tail.  0 disables
+    # (exact reference tie semantics, tests/test_reference_golden.py).
+    vote_tie_sd: float = 1.0
 
 
 class ShardHit(NamedTuple):
@@ -509,7 +519,11 @@ def finalize_single(hit: ShardHit) -> ReadResult:
 DEFAULT_TIE_REL_TOL = ClassifyParams().tie_rel_tol
 
 
-def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> ReadResult:
+def merge_hits(
+    hits: ShardHit,
+    tie_rel_tol: float = DEFAULT_TIE_REL_TOL,
+    vote_tie_sd: float = ClassifyParams().vote_tie_sd,
+) -> ReadResult:
     """Merge per-shard hits stacked on axis 0 — the device analog of
     merging per-chunk ``hits.pkl`` and running ``best_hit``
     (`aligner.py:219-231,328-339`): best = min inv_identity among
@@ -517,7 +531,12 @@ def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> Read
     different accessions -> AMBIGUOUS.  The comparison runs on the
     vote-statistical ``merge_cost`` (see ShardHit.merge_cost: identical
     cross-shard copies tie EXACTLY on it even when extension refined
-    only one side); the winner still reports its refined identity."""
+    only one side); the winner still reports its refined identity.
+
+    Near-ties are recognized in BOTH cost space (``tie_rel_tol``) and
+    vote space (``vote_tie_sd`` standard deviations of the ~Poisson
+    vote count — see ClassifyParams.vote_tie_sd); set both to 0 for
+    the reference's exact-tie-only contract."""
     S, B = hits.passed.shape
     BIG = jnp.float32(1e9)
     cost = jnp.where(hits.passed, hits.merge_cost, BIG)  # (S, B)
@@ -528,7 +547,8 @@ def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> Read
     any_pass = n_pass > 0
 
     # tie detection: another passing shard within the near-tie band of
-    # the best cost AND attributing a DIFFERENT accession (segmented
+    # the best cost — or within the vote-noise band of the best vote
+    # count — AND attributing a DIFFERENT accession (segmented
     # genomes can span shards: equal-cost hits on the same accession
     # are agreement, not ambiguity — matching the within-shard tie
     # check, classify_shard's acc2 != acc_id), or (when nothing
@@ -536,8 +556,18 @@ def merge_hits(hits: ShardHit, tie_rel_tol: float = DEFAULT_TIE_REL_TOL) -> Read
     is_best = jnp.arange(S)[:, None] == best_s[None, :]
     band = best_cost * jnp.float32(1.0 + tie_rel_tol) + jnp.float32(1e-6)
     best_acc = take(hits.acc_id)
+    near = cost <= band[None, :]
+    if vote_tie_sd > 0.0:
+        best_votes = take(hits.votes).astype(jnp.float32)
+        vband = jnp.float32(vote_tie_sd) * jnp.sqrt(
+            jnp.maximum(best_votes, 1.0)
+        )
+        dv = jnp.abs(
+            hits.votes.astype(jnp.float32) - best_votes[None, :]
+        )
+        near = near | (dv <= vband[None, :])
     tie = jnp.any(
-        (cost <= band[None, :])
+        near
         & ~is_best
         & hits.passed
         & (hits.acc_id != best_acc[None, :]),
@@ -604,7 +634,7 @@ def classify_batch_stacked(
         lambda ix: classify_shard(ix, codes, lengths, params, sketch=sk),
         stacked_index,
     )
-    result = merge_hits(hits, params.tie_rel_tol)
+    result = merge_hits(hits, params.tie_rel_tol, params.vote_tie_sd)
     counts = count_reads(result, lengths, n_accessions, count_mode)
     return result, counts
 
@@ -640,7 +670,7 @@ def classify_batch_grouped(
         if len(hits) > 1
         else hits[0]
     )
-    result = merge_hits(merged, params.tie_rel_tol)
+    result = merge_hits(merged, params.tie_rel_tol, params.vote_tie_sd)
     counts = count_reads(result, lengths, n_accessions, count_mode)
     return result, counts
 

@@ -120,35 +120,43 @@ class FastqView:
         return out
 
     def concat_records_with_id(self, indices: np.ndarray, new_id: bytes) -> np.ndarray:
-        """Selected records with every read id replaced by ``new_id``
-        (tax-unit rewrite on the mapped route), concatenated in C."""
+        """Selected records with ``new_id`` PREPENDED to the read id
+        (tax-unit rewrite on the mapped route), concatenated in C.
+
+        Header becomes ``@<new_id> <original id> ...`` — the reference
+        sets ``record.id`` and biopython's fastq writer then prepends
+        the new id to the unchanged description (aligner.py:242 + the
+        Bio.SeqIO title rule; see monica_tpu/parity.py).  Implemented
+        by running the C id-splice with a zero id span: the insertion
+        ``new_id + ' '`` lands exactly before the original id."""
         lib = load()
         sel = np.ascontiguousarray(indices, dtype=np.int64)
-        total = int(
-            (self.rec_len[sel] - self.id_len[sel]).sum() + len(new_id) * len(sel)
-        )
+        ins = new_id + b" "
+        total = int(self.rec_len[sel].sum() + len(ins) * len(sel))
         out = np.empty(total, dtype=np.uint8)
         if len(sel):
+            zero_len = np.zeros_like(self.id_len)
             lib.concat_records_with_id(
                 self.buf,
                 self.rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self.rec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self.id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                self.id_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                zero_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.c_int64(len(sel)),
-                new_id,
-                ctypes.c_int32(len(new_id)),
+                ins,
+                ctypes.c_int32(len(ins)),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
             )
         return out
 
     def record_with_id(self, i: int, new_id: bytes) -> bytes:
-        """Record bytes with the id replaced (tax-unit rewrite on the
-        mapped route, reference aligner.py:242)."""
+        """Record bytes with ``new_id`` prepended to the id (tax-unit
+        rewrite on the mapped route, reference aligner.py:242 + the
+        biopython title rule — original id stays as the next token)."""
         rec = self.record_bytes(i)
         rel = self.id_off[i] - self.rec_off[i]
-        return rec[: rel] + new_id + rec[rel + self.id_len[i]:]
+        return rec[:rel] + new_id + b" " + rec[rel:]
 
     def encode_rows(
         self,

@@ -76,11 +76,20 @@ def read_fastq(path: str | os.PathLike) -> Iterator[SeqRecord]:
 
 def write_fastq_record(fh, rec: SeqRecord, new_id: str | None = None) -> None:
     """Append one record; ``new_id`` mirrors the reference's read-id rewrite
-    to the assigned tax unit (`monica/genomes/aligner.py:242`)."""
-    rid = new_id if new_id is not None else rec.id
-    desc = f" {rec.desc}" if rec.desc else ""
+    to the assigned tax unit (`monica/genomes/aligner.py:242`).
+
+    The rewritten header KEEPS the original id as the next token:
+    the reference sets ``record.id`` without touching ``description``,
+    and biopython's fastq writer then emits ``@<new id> <old header>``
+    (Bio.SeqIO title rule — description no longer starts with the id).
+    Observable reference output format, verified by the
+    reference-executed parity harness (monica_tpu/parity.py)."""
     qual = rec.qual if rec.qual is not None else "I" * len(rec.seq)
-    fh.write(f"@{rid}{desc}\n{rec.seq}\n+\n{qual}\n")
+    desc = f" {rec.desc}" if rec.desc else ""
+    if new_id is None:
+        fh.write(f"@{rec.id}{desc}\n{rec.seq}\n+\n{qual}\n")
+    else:
+        fh.write(f"@{new_id} {rec.id}{desc}\n{rec.seq}\n+\n{qual}\n")
 
 
 def write_fasta_record(fh, rec: SeqRecord, new_id: str | None = None, width: int = 80) -> None:

@@ -293,7 +293,11 @@ def run_analysis(ctx: DataContext, cfg: AnalysisConfig, metrics: Metrics | None 
         state = AbundanceState.load(output, built.meta.n_accessions)
         if not state.samples:
             return
-        norm, raw = export_tables(state, built.meta, output)
+        # overnight: genus-collapsed tax units in the exported tables
+        # (reference counts under the collapsed key, aligner.py:237-263)
+        norm, raw = export_tables(
+            state, built.meta, output, overnight=cfg.overnight
+        )
         barplot.plotter(
             norm, raw, output,
             reads_threshold=cfg.reads_threshold,

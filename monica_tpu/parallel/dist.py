@@ -100,7 +100,7 @@ def make_sharded_classifier(
         flat = jax.tree.map(
             lambda a: a.reshape((-1,) + a.shape[2:]), gathered
         )
-        result = pl.merge_hits(flat, params.tie_rel_tol)
+        result = pl.merge_hits(flat, params.tie_rel_tol, params.vote_tie_sd)
         counts = pl.count_reads(result, lengths, n_accessions, count_mode)
         # every index-axis device computed the same merged result for
         # its reads; zero all but index rank 0 and psum over the index

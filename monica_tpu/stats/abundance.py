@@ -92,23 +92,37 @@ def normalize(state: AbundanceState, genome_lengths: np.ndarray) -> dict[str, np
 
 
 def to_dataframe(
-    per_sample: dict[str, np.ndarray], meta: IndexMeta
+    per_sample: dict[str, np.ndarray], meta: IndexMeta, overnight: bool = False
 ) -> pd.DataFrame:
     """Rows = MultiIndex (tax_unit, accession); columns = samples.
 
     Zero entries become NaN — in the reference a (tax_unit, accession)
     appears in a sample's Counter only if it received >=1 read, and
     missing cells surface as NaN after the unstack/concat
-    (`aligner.py:322-323`).
+    (`aligner.py:322-325`).
+
+    ``overnight`` collapses the tax_unit level to the genus (the first
+    ``_``-separated token), matching the reference's overnight counting
+    where ``sample_alignment`` is keyed by the genus-collapsed tax unit
+    (`aligner.py:237-239,247-263`) — accessions stay distinct, so two
+    species of one genus become two rows under one genus key, exactly
+    the shape the reference's dict unstacks to.  Counting per accession
+    and collapsing at export is equivalent to the reference's
+    collapse-before-count because the accession->tax mapping is static.
     """
     samples = sorted(per_sample)
     rows_mask = np.zeros(meta.n_accessions, dtype=bool)
     for s in samples:
         rows_mask |= per_sample[s] != 0
     idx = np.nonzero(rows_mask)[0]
+
+    def tax(i: int) -> str:
+        t = meta.tax_units[i]
+        return t.split("_")[0] if overnight else t
+
     index = pd.MultiIndex.from_arrays(
         [
-            [meta.tax_units[i] for i in idx],
+            [tax(i) for i in idx],
             [meta.accessions[i] for i in idx],
         ],
         names=["tax_unit", "accession"],
@@ -124,13 +138,18 @@ def export_tables(
     state: AbundanceState,
     meta: IndexMeta,
     output_folder: str | os.PathLike,
+    overnight: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Write ``monica.dataframe`` (normalized) and ``raw_monica.dataframe``
-    (raw counts) CSVs — the on-disk public API (`monica/monica.py:443-448`)."""
+    (raw counts) CSVs — the on-disk public API (`monica/monica.py:443-448`).
+    ``overnight`` exports genus-collapsed tax units (see to_dataframe)."""
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
-    raw = to_dataframe({s: c.astype(np.float64) for s, c in state.samples.items()}, meta)
-    norm = to_dataframe(normalize(state, meta.genome_lengths), meta)
+    raw = to_dataframe(
+        {s: c.astype(np.float64) for s, c in state.samples.items()}, meta,
+        overnight=overnight,
+    )
+    norm = to_dataframe(normalize(state, meta.genome_lengths), meta, overnight=overnight)
     norm.to_csv(output_folder / DATAFRAME_FILENAME)
     raw.to_csv(output_folder / RAW_DATAFRAME_FILENAME)
     return norm, raw

@@ -73,7 +73,9 @@ def test_record_with_id_rewrite():
     buf, _ = _sample_bytes(3)
     view = native.parse_fastq_bytes(buf)
     rec = view.record_with_id(1, b"Species_X")
-    assert rec.startswith(b"@Species_X extra info\n")
+    # new id prepended, original id kept (biopython title rule the
+    # reference's rewrite goes through — see monica_tpu/parity.py)
+    assert rec.startswith(b"@Species_X read1 extra info\n")
 
 
 def test_runtime_native_equals_python(tmp_path, monkeypatch):
@@ -159,4 +161,4 @@ def test_concat_records_empty_and_order(tmp_path):
     out = bytes(v.concat_records(np.array([2, 0], np.int64)))
     assert out == b"@c\nTTT\n+\nIII\n@a x\nACGT\n+\nIIII\n"
     rid = bytes(v.concat_records_with_id(np.array([0, 1], np.int64), b"Tax_X"))
-    assert rid == b"@Tax_X x\nACGT\n+\nIIII\n@Tax_X\nGG\n+\nII\n"
+    assert rid == b"@Tax_X a x\nACGT\n+\nIIII\n@Tax_X b\nGG\n+\nII\n"

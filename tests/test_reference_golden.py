@@ -76,7 +76,7 @@ def test_best_hit_ordering_and_tie_semantics_match_reference():
         )
         # exact-tie semantics: zero tolerance band (tie_rel_tol is the
         # documented cross-shard vote-noise extension, not the contract)
-        res = pl.merge_hits(sh, tie_rel_tol=0.0)
+        res = pl.merge_hits(sh, tie_rel_tol=0.0, vote_tie_sd=0.0)
         status = int(np.asarray(res.status)[0])
         acc = int(np.asarray(res.acc_id)[0])
 
