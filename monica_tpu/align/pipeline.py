@@ -249,6 +249,21 @@ class ClassifyParams(NamedTuple):
     # locus at most half the best (uniqueness guard; shared-region
     # reads keep failing toward unmapped/ambiguous as they should).
     rescue_nm_rate: float = 0.35
+    # rescue acceptance also requires the LOCAL alignment to cover the
+    # read: mlen >= rescue_min_cov * read_len.  The banded SW is local
+    # (restart-at-zero floor, ops/extend.py) so a decoy locus can show
+    # a short high-identity segment with a tiny NM/mlen; mappy kills
+    # those via primary/mapq, here the coverage floor does (wrong-call
+    # source found in the r5 single-anchor-rescue ablation).
+    rescue_min_cov: float = 0.5
+    # rescue candidacy: minimum chain votes to seat the extension
+    # band.  2 = two co-diagonal anchors (the r4 default); 1 admits
+    # single-surviving-seed reads — at r9_old error rates a large
+    # fraction of 300-1000 bp reads keep exactly one seed, and the
+    # banded-SW identity (<= rescue_nm_rate) plus the uniqueness guard
+    # (f2*2 <= f1 forces f2 == 0 when f1 == 1) carry the evidence the
+    # vote count cannot (SENSITIVITY_r05.json ablation rows).
+    rescue_min_votes: int = 1
     # verified anchors kept per seed (< lookup.ROW_SLOTS compacts the
     # per-anchor arrays; chain sort cost scales with this).  2 keeps
     # n_slots*anchors a power of two (256 -> bitonic sortnet) and costs
@@ -403,6 +418,10 @@ def classify_shard(
             # alignment identity below is the actual evidence
             & (res.f2 * 2 <= res.f1)
             & (ext.inv_identity <= params.rescue_nm_rate)
+            & (
+                ext.mlen.astype(jnp.float32)
+                >= params.rescue_min_cov * lengths.astype(jnp.float32)
+            )
             & (lengths > 0)
         )
         passed = passed | rescued
@@ -414,36 +433,46 @@ def classify_shard(
         # statistical identity above.
         cand = (
             ~passed
-            & (res.f1 >= 2)
+            & (res.f1 >= params.rescue_min_votes)
             & (res.f2 * 2 <= res.f1)
             & (lengths > 0)
         )
-        n_slots = max(int(B * params.rescue_frac), 1)
 
-        def with_rescue(_):
-            order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
-            idx = order[:n_slots]
-            take = lambda x: jnp.take(x, idx, axis=0)
-            ext = ex.extend_hits(
-                index.ref_codes,
-                take(codes),
-                take(lengths),
-                take(res.rep_ref_pos),
-                take(res.rep_read_pos),
-                take(res.rc),
-                k=params.k,
-                p=ex.ExtendParams(band=params.band),
-                impl=params.extend_impl,
-            )
-            ok = take(cand) & (ext.inv_identity <= params.rescue_nm_rate)
-            rescued = jnp.zeros((B,), bool).at[idx].set(ok)
-            inv_sc = jnp.zeros((B,), inv_identity.dtype).at[idx].set(
-                jnp.where(ok, ext.inv_identity, 0.0)
-            )
-            mlen_sc = jnp.zeros((B,), mlen.dtype).at[idx].set(
-                jnp.where(ok, ext.mlen.astype(mlen.dtype), 0.0)
-            )
-            return rescued, inv_sc, mlen_sc
+        def with_rescue(n_slots):
+            def fn(_):
+                order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
+                idx = order[:n_slots]
+                take = lambda x: jnp.take(x, idx, axis=0)
+                ext = ex.extend_hits(
+                    index.ref_codes,
+                    take(codes),
+                    take(lengths),
+                    take(res.rep_ref_pos),
+                    take(res.rep_read_pos),
+                    take(res.rc),
+                    k=params.k,
+                    p=ex.ExtendParams(band=params.band),
+                    impl=params.extend_impl,
+                )
+                ok = (
+                    take(cand)
+                    & (ext.inv_identity <= params.rescue_nm_rate)
+                    & (
+                        ext.mlen.astype(jnp.float32)
+                        >= params.rescue_min_cov
+                        * take(lengths).astype(jnp.float32)
+                    )
+                )
+                rescued = jnp.zeros((B,), bool).at[idx].set(ok)
+                inv_sc = jnp.zeros((B,), inv_identity.dtype).at[idx].set(
+                    jnp.where(ok, ext.inv_identity, 0.0)
+                )
+                mlen_sc = jnp.zeros((B,), mlen.dtype).at[idx].set(
+                    jnp.where(ok, ext.mlen.astype(mlen.dtype), 0.0)
+                )
+                return rescued, inv_sc, mlen_sc
+
+            return fn
 
         def without_rescue(_):
             return (
@@ -452,14 +481,34 @@ def classify_shard(
                 jnp.zeros((B,), mlen.dtype),
             )
 
-        # a clean batch has NO rescue candidates; lax.cond executes a
-        # single branch at runtime on TPU, so the banded-SW cost
-        # (~1.1 ms / 2048 batch) is paid only when something can
-        # actually be rescued.  With zero candidates the old
-        # unconditional path extended 256 arbitrary rows and masked
-        # every verdict to False — identical results, wasted cells.
+        # ADAPTIVE slot budget (VERDICT r4 next-round item 2): the
+        # static B/8 budget saturates at high error rates — at r9_old
+        # (18% error) 1 kb, ~1/3 of a batch fails the vote gate with a
+        # seedable unique locus, and every read beyond the budget stayed
+        # unmapped (SENSITIVITY_r05.json saturation rows).  Escalate the
+        # compaction width by the actual candidate count: B/8 (clean/
+        # mildly-noisy batches, the common case) -> B/2 -> B, so every
+        # candidate gets a slot in the worst case while a clean batch
+        # still skips SW entirely (lax.cond executes one branch at
+        # runtime on TPU; the other tiers cost compile time only).
+        n_cand = jnp.sum(cand)
+        n8 = max(int(B * params.rescue_frac), 1)
+        n2 = max(B // 2, 1)
         rescued, inv_sc, mlen_sc = jax.lax.cond(
-            jnp.any(cand), with_rescue, without_rescue, operand=None
+            n_cand > 0,
+            lambda _: jax.lax.cond(
+                n_cand <= n8,
+                with_rescue(n8),
+                lambda __: jax.lax.cond(
+                    n_cand <= n2,
+                    with_rescue(n2),
+                    with_rescue(B),
+                    operand=None,
+                ),
+                operand=None,
+            ),
+            without_rescue,
+            operand=None,
         )
         passed = passed | rescued
         # rescued reads report their alignment identity; everyone else

@@ -7,9 +7,11 @@ is measured here as ground-truth assignment accuracy on a mock
 community with conserved shared blocks (see monica_tpu/evaluation.py).
 
 Gating: exits 1 when the worst-case accuracy of the DEFAULT settings
-over the supported error profiles (<= r9_hac; r9_old is legacy
-chemistry, reported but not gated) falls below 0.95.  Sweep rows
-(deliberately degraded knobs) are reported for tuning but never gate.
+over the supported error profiles (<= r9_hac) falls below 0.95, or
+when r9_old (8/5/5% legacy chemistry) falls below 0.85 accuracy /
+0.995 precision at read lengths >= 1 kb (VERDICT r4 item 2: adaptive
++ single-anchor rescue with a coverage floor closed the r9-era gap).
+Sweep rows (deliberately degraded knobs) are reported but never gate.
 
 Usage: python scripts/concordance.py [--quick] [--sweep]
 """
@@ -24,6 +26,8 @@ import numpy as np
 
 TARGET = 0.95
 GATED_PROFILES = ("r10_sup", "r10_fast", "r9_hac")
+R9_OLD_ACC_TARGET = 0.85     # at read_len >= 1000
+R9_OLD_PREC_TARGET = 0.995
 
 
 def main():
@@ -173,7 +177,17 @@ def main():
         if r["setting"] == "default" and r["profile"] in GATED_PROFILES
     ]
     worst = min(gated)
-    ok = worst >= TARGET and strain_ok
+    r9_rows = [
+        r for r in rows
+        if r["setting"] == "default" and r["profile"] == "r9_old"
+        and r["read_len"] >= 1000
+    ]
+    r9_ok = all(
+        r["accuracy"] >= R9_OLD_ACC_TARGET
+        and (r["precision"] is None or r["precision"] >= R9_OLD_PREC_TARGET)
+        for r in r9_rows
+    )
+    ok = worst >= TARGET and strain_ok and r9_ok
     if args.quick:
         # quick mode's tiny genomes put ~7% of reads inside the mock
         # community's conserved shared blocks (genuinely unmappable),
@@ -184,8 +198,10 @@ def main():
         verdict = "PASS" if ok else "FAIL"
     print(
         f"\nworst-case DEFAULT accuracy (profiles <= r9_hac): {worst:.4f} "
-        f"(target >= {TARGET}); strain/hard-instance precision gate "
-        f"(>= {PRECISION_TARGET} at ANI <= 99%, no guessing above): "
+        f"(target >= {TARGET}); r9_old gate (acc >= {R9_OLD_ACC_TARGET}, "
+        f"prec >= {R9_OLD_PREC_TARGET} at >= 1 kb): "
+        f"{'PASS' if r9_ok else 'FAIL'}; strain/hard-instance precision "
+        f"gate (>= {PRECISION_TARGET} at ANI <= 99%, no guessing above): "
         f"{'PASS' if strain_ok else 'FAIL'} -> {verdict}"
     )
     if args.out:
@@ -195,6 +211,11 @@ def main():
                     "target": TARGET,
                     "gated_profiles": list(GATED_PROFILES),
                     "worst_gated_accuracy": worst,
+                    "r9_old_gate": {
+                        "acc_target": R9_OLD_ACC_TARGET,
+                        "prec_target": R9_OLD_PREC_TARGET,
+                        "pass": r9_ok,
+                    },
                     "precision_target": PRECISION_TARGET,
                     "strain_gate": "PASS" if strain_ok else "FAIL",
                     "verdict": verdict,
@@ -209,7 +230,7 @@ def main():
                 indent=1,
             )
         print(f"artifact written to {args.out}")
-    sys.exit(0 if ((ok or args.quick) and strain_ok) else 1)
+    sys.exit(0 if ((ok or args.quick) and strain_ok and (r9_ok or args.quick)) else 1)
 
 
 if __name__ == "__main__":
