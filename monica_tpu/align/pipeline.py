@@ -779,6 +779,18 @@ def classify_batch_grouped_packed(
 
 
 @jax.jit
+def concat_packed(arrs: tuple) -> jnp.ndarray:
+    """Concatenate a whole sample's per-batch pack_results arrays into
+    ONE flat int32 vector on device, so the sample costs a single
+    device->host transfer instead of one round-trip per batch (~25 ms
+    each through a tunneled interconnect, STREAM_r04.json; a direct
+    host pays less but still one sync per fetch).  jit caches per
+    batch-shape tuple — a flowcell's bucket plan repeats across
+    samples, so this compiles once per workload shape."""
+    return jnp.concatenate([a.reshape(-1) for a in arrs])
+
+
+@jax.jit
 def pack_results(result: ReadResult, counts: jnp.ndarray) -> jnp.ndarray:
     """Pack everything the streaming host loop consumes into ONE int32
     array so the per-batch device->host fetch is a single transfer

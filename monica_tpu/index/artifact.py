@@ -48,8 +48,19 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
     meta = index.meta
+    # Crash-safe re-save (ADVICE r4): shard files are VERSIONED by a
+    # per-save run id and the manifest — which names the run id — is
+    # atomically os.replace()d as the FINAL step.  At every instant the
+    # on-disk manifest therefore references a complete, consistent file
+    # set: a crash mid-save leaves the previous index fully loadable
+    # (its files are untouched until after the manifest flip), and a
+    # stale manifest can never resolve to new-generation shard files.
+    # Orphans from an interrupted save are garbage-collected by the
+    # next successful one.
+    runid = os.urandom(4).hex()
     manifest = {
         "format": "monica_tpu.index.v2",
+        "runid": runid,
         "k": meta.k,
         "w": meta.w,
         "frac": meta.frac,
@@ -59,28 +70,18 @@ def save_index(index: BuiltIndex, folder: str | os.PathLike) -> Path:
         "accessions": meta.accessions,
         "genome_lengths": [int(x) for x in meta.genome_lengths],
     }
-    # Crash-safe re-save: (1) write every new array under a .tmp.npy
-    # name, (2) atomically rename into place, (3) write the manifest,
-    # (4) remove stale shard files from a prior save (a v1 .npz, or
-    # more shards than now — load follows the manifest so stale files
-    # are never read, but they waste disk, ADVICE r3).  A failure
-    # during (1) — ENOSPC, crash — leaves the previous index fully
-    # loadable; deleting old files FIRST would destroy the only copy
-    # on a failed save.
     live: set[str] = set()
     for i, sh in enumerate(index.shards):
         for name in _SHARD_FIELDS:
-            fname = f"shard{i}.{name}.npy"
+            fname = f"shard{i}.{name}.{runid}.npy"
             live.add(fname)
-            np.save(folder / f"shard{i}.{name}.tmp.npy", getattr(sh, name))
-    for i, sh in enumerate(index.shards):
-        for name in _SHARD_FIELDS:
-            os.replace(
-                folder / f"shard{i}.{name}.tmp.npy",
-                folder / f"shard{i}.{name}.npy",
-            )
-    with open(folder / MANIFEST, "w") as fh:
+            np.save(folder / fname, getattr(sh, name))
+    tmp = folder / (MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, folder / MANIFEST)
     for old in folder.glob("shard*"):
         if old.name not in live:
             old.unlink(missing_ok=True)
@@ -104,11 +105,15 @@ def load_index(folder: str | os.PathLike) -> BuiltIndex:
         frac=manifest.get("frac", 1.0),
         occ_cap=manifest.get("occ_cap", 0),
     )
+    # run-id-versioned filenames (see save_index); pre-r5 v2 manifests
+    # have no runid and used unversioned names
+    runid = manifest.get("runid")
+    suffix = f".{runid}.npy" if runid else ".npy"
     shards = []
     for i in range(manifest["n_shards"]):
         if fmt == "monica_tpu.index.v2":
             arrays = {
-                name: np.load(folder / f"shard{i}.{name}.npy", mmap_mode="r")
+                name: np.load(folder / f"shard{i}.{name}{suffix}", mmap_mode="r")
                 for name in _SHARD_FIELDS
             }
         else:

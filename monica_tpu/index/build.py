@@ -100,6 +100,12 @@ class IndexShard:
 class BuiltIndex:
     meta: IndexMeta
     shards: list[IndexShard]
+    # TPU-resident build (single shard): [(mz_rows device table,
+    # tag_bits)] — Classifier uses it directly, skipping both the
+    # minimizer D2H fetch and the host table rebuild + re-upload.
+    # None for host builds; host arrays remain reachable through the
+    # (lazy) shards either way.
+    device: list | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +169,316 @@ def sketch_long_sequence(
         np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64),
         np.concatenate(strand_l) if strand_l else np.zeros(0, np.uint8),
     )
+
+
+# ---------------------------------------------------------------------------
+# device-side sketch + sort (VERDICT r4 item 4): the index build ran the
+# SAME sketch math the classify path executes at ~490k reads/s — but on
+# host numpy threads, leaving the TPU idle.  Here reference segments are
+# sketched on device (mz.sketch_array is xp-generic; integer ops are
+# exact, so the selected set is bit-identical to the host path) and the
+# minimizer table is sorted on device by (hash, position) via a 2-key
+# lax.sort — replacing BOTH the host sketch chain and the single-thread
+# np.argsort that together dominate build time (profiled: 6.0 s sketch
+# + 5.2 s argsort of an 18.9 s 64 Mbase build on the 2-core host).
+# ---------------------------------------------------------------------------
+
+_DEV_SEG = 1 << 22  # segment length: one compile, reused for every segment
+_DEV_CAP_SHIFT = 2  # per-segment entry capacity = seg >> 2 (~1.4x the
+# expected 2/(w+1) winnow density; overflow falls back to the host path)
+
+
+def _device_sketch_sort(
+    codes: np.ndarray, k: int, w: int, frac: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Sketch + sort one packed reference on the default jax device.
+
+    Returns (hash, pos, strand) sorted by (hash, pos) — bit-identical
+    to ``sketch_long_sequence`` + stable argsort (equal hashes keep
+    position order, which is exactly what a stable sort of a
+    position-ascending array produces) — or None when a segment
+    overflows the compaction capacity (caller falls back to host).
+
+    Device layout: each overlap-extended segment is sketched and
+    compacted to a static capacity (jnp.nonzero with a fill size);
+    segments concatenate on device and ONE 2-key lax.sort orders the
+    (hash, pos<<1|strand) pairs; pad entries carry (0xFFFFFFFF,
+    0xFFFFFFFF) so they sort strictly last (real pos < 2^27).  Two u32
+    transfers return the table; u64 keys are avoided (TPU x64 is off).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(codes)
+    if n < k:
+        e = np.zeros(0)
+        return e.astype(np.uint32), e.astype(np.int64), e.astype(np.uint8)
+    seg = _DEV_SEG
+    cap = seg >> _DEV_CAP_SHIFT
+    overlap = 2 * w + k
+    pad_val = jnp.uint32(0xFFFFFFFF)
+
+    @functools.partial(jax.jit, static_argnames=("k", "w", "frac"))
+    def sketch_seg(chunk, start_in_chunk, own_len, base, k, w, frac):
+        h, keep, s = mz.sketch_array(chunk[None], k, w, jnp, frac=frac)
+        h, keep, s = h[0], keep[0], s[0]
+        pos = jnp.arange(keep.shape[0], dtype=jnp.int32)
+        own = keep & (pos >= start_in_chunk) & (pos < start_in_chunk + own_len)
+        count = jnp.sum(own, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(own, size=cap, fill_value=-1)
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        gpos = (base - start_in_chunk) + safe  # global position
+        ps = (gpos.astype(jnp.uint32) << 1) | s[safe].astype(jnp.uint32)
+        hh = jnp.where(valid, h[safe], pad_val)
+        ps = jnp.where(valid, ps, pad_val)
+        return hh, ps, count
+
+    chunk_len = seg + 2 * overlap
+    parts_h, parts_ps = [], []
+    total = 0
+    for start in range(0, n - k + 1, seg):
+        stop = min(n, start + seg)
+        lo = max(0, start - overlap)
+        hi = min(n, stop + overlap)
+        chunk = np.full(chunk_len, 4, np.uint8)  # PAD code kills k-mers
+        chunk[: hi - lo] = codes[lo:hi]
+        hh, ps, count = sketch_seg(
+            jnp.asarray(chunk), start - lo, stop - start, start, k, w, frac
+        )
+        c = int(count)
+        if c > cap:
+            return None  # adversarial density (homopolymer ties): host path
+        total += c
+        parts_h.append(hh)
+        parts_ps.append(ps)
+
+    h_all = jnp.concatenate(parts_h)
+    ps_all = jnp.concatenate(parts_ps)
+    h_sorted, ps_sorted = jax.jit(
+        lambda a, b: jax.lax.sort((a, b), num_keys=2)
+    )(h_all, ps_all)
+    h_np = np.asarray(h_sorted)[:total]
+    ps_np = np.asarray(ps_sorted)[:total]
+    return (
+        h_np.astype(np.uint32),
+        (ps_np >> 1).astype(np.int64),
+        (ps_np & 1).astype(np.uint8),
+    )
+
+
+def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
+    """Device variant returning DEVICE arrays: (h_sorted, ps_sorted,
+    total) with pads (0xFFFFFFFF, 0xFFFFFFFF) sorted last, or None on
+    segment-capacity overflow.  Shares all selection/order semantics
+    with :func:`_device_sketch_sort` (which is this + a host fetch)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(codes)
+    if n < k:
+        return None
+    seg = _DEV_SEG
+    cap = seg >> _DEV_CAP_SHIFT
+    overlap = 2 * w + k
+    pad_val = jnp.uint32(0xFFFFFFFF)
+
+    @functools.partial(jax.jit, static_argnames=("k", "w", "frac"))
+    def sketch_seg(chunk, start_in_chunk, own_len, base, k, w, frac):
+        h, keep, s = mz.sketch_array(chunk[None], k, w, jnp, frac=frac)
+        h, keep, s = h[0], keep[0], s[0]
+        pos = jnp.arange(keep.shape[0], dtype=jnp.int32)
+        own = keep & (pos >= start_in_chunk) & (pos < start_in_chunk + own_len)
+        count = jnp.sum(own, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(own, size=cap, fill_value=-1)
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        gpos = (base - start_in_chunk) + safe
+        ps = (gpos.astype(jnp.uint32) << 1) | s[safe].astype(jnp.uint32)
+        hh = jnp.where(valid, h[safe], pad_val)
+        ps = jnp.where(valid, ps, pad_val)
+        return hh, ps, count
+
+    chunk_len = seg + 2 * overlap
+    parts_h, parts_ps = [], []
+    total = 0
+    for start in range(0, n - k + 1, seg):
+        stop = min(n, start + seg)
+        lo = max(0, start - overlap)
+        hi = min(n, stop + overlap)
+        chunk = np.full(chunk_len, 4, np.uint8)
+        chunk[: hi - lo] = codes[lo:hi]
+        hh, ps, count = sketch_seg(
+            jnp.asarray(chunk), start - lo, stop - start, start, k, w, frac
+        )
+        c = int(count)
+        if c > cap:
+            return None
+        total += c
+        parts_h.append(hh)
+        parts_ps.append(ps)
+
+    h_all = jnp.concatenate(parts_h)
+    ps_all = jnp.concatenate(parts_ps)
+    h_sorted, ps_sorted = jax.jit(
+        lambda a, b: jax.lax.sort((a, b), num_keys=2)
+    )(h_all, ps_all)
+    return h_sorted, ps_sorted, total
+
+
+def _device_hash_table(h_sorted, ps_sorted, total: int, tag_bits: int,
+                       occ_cap: int):
+    """Build the (2^rbits, ROW_SLOTS) packed lookup table ON DEVICE from
+    the device-sorted minimizer arrays — the fully TPU-resident build:
+    nothing but two scalars crosses device->host, which is what makes
+    build-to-classify fast on hosts with slow readback (measured
+    21 MB/s D2H through this environment's tunnel; the 93 MB triple
+    fetch alone would exceed the whole host build).
+
+    Bit-identical to ``ops.lookup.build_hash_rows`` applied after the
+    occ-cap run filter (index/build.py _build_shard): (1) equal-hash
+    runs longer than occ_cap are dropped entirely; (2) surviving
+    entries fill their row — top rbits of the hash — in sorted order,
+    truncated at ROW_SLOTS.
+
+    Returns (table_device, n_kept:int).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from monica_tpu.ops import lookup as lk
+
+    N = int(h_sorted.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=())
+    def kept_count(h, ps, total):
+        idx = jnp.arange(N, dtype=jnp.int32)
+        valid = idx < total
+        newh = jnp.concatenate(
+            [jnp.ones(1, bool), h[1:] != h[:-1]]
+        )
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(newh, idx, 0)
+        )
+        lasth = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, bool)])
+        run_end = jnp.flip(
+            jax.lax.associative_scan(
+                jnp.minimum, jnp.flip(jnp.where(lasth, idx, N - 1))
+            )
+        )
+        runlen = run_end - run_start + 1
+        keep = valid & (runlen <= occ_cap)
+        return keep, jnp.sum(keep, dtype=jnp.int32)
+
+    keep, n_kept_dev = kept_count(h_sorted, ps_sorted, total)
+    n_kept = int(n_kept_dev)  # scalar fetch: sizes the static row count
+    rbits = lk.row_bits_for(n_kept)
+
+    @functools.partial(jax.jit, static_argnames=("rbits",))
+    def fill(h, ps, keep, rbits):
+        idx = jnp.arange(N, dtype=jnp.int32)
+        n_rows = 1 << rbits
+        row = (h >> jnp.uint32(32 - rbits)).astype(jnp.int32)
+        newrow = jnp.concatenate(
+            [jnp.ones(1, bool), row[1:] != row[:-1]]
+        )
+        row_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(newrow, idx, 0)
+        )
+        ckeep = jnp.cumsum(keep.astype(jnp.int32))  # inclusive
+        before = jnp.where(
+            row_start > 0, ckeep[jnp.maximum(row_start - 1, 0)], 0
+        )
+        rank = ckeep - 1 - before  # rank among kept entries in the row
+        ok = keep & (rank < lk.ROW_SLOTS)
+        payload_bits = 32 - tag_bits
+        tag = h & jnp.uint32((1 << tag_bits) - 1)
+        entries = (tag << jnp.uint32(payload_bits)) | ps
+        rowk = jnp.where(ok, row, n_rows)  # dummy overflow row
+        rankk = jnp.where(ok, rank, 0)
+        table = jnp.zeros((n_rows + 1, lk.ROW_SLOTS), jnp.uint32)
+        table = table.at[rowk, rankk].set(jnp.where(ok, entries, 0))
+        return table[:n_rows]
+
+    return fill(h_sorted, ps_sorted, keep, rbits), n_kept
+
+
+class LazyDeviceShard:
+    """Duck-typed :class:`IndexShard` whose minimizer arrays live on
+    device (the TPU-resident build) and are fetched to host only on
+    first access (artifact save, multi-shard stacking) — the fetch
+    costs one large D2H transfer, which classification never pays."""
+
+    def __init__(self, ref_codes, seq_starts, seq_lengths,
+                 seq_accession_id, pos_accession_id,
+                 h_dev, ps_dev, total: int, occ_cap: int):
+        self.ref_codes = ref_codes
+        self.seq_starts = seq_starts
+        self.seq_lengths = seq_lengths
+        self.seq_accession_id = seq_accession_id
+        self.pos_accession_id = pos_accession_id
+        self._h_dev, self._ps_dev = h_dev, ps_dev
+        self._total, self._occ_cap = total, occ_cap
+        self._host = None
+
+    def _fetch(self):
+        if self._host is None:
+            h = np.asarray(self._h_dev)[: self._total].astype(np.uint32)
+            ps = np.asarray(self._ps_dev)[: self._total]
+            if self._occ_cap and len(h):
+                starts = np.flatnonzero(
+                    np.concatenate([[True], h[1:] != h[:-1]])
+                )
+                runlen = np.diff(np.concatenate([starts, [len(h)]]))
+                keep = np.repeat(runlen <= self._occ_cap, runlen)
+                h, ps = h[keep], ps[keep]
+            self._host = (
+                h,
+                (ps >> 1).astype(np.int32),
+                (ps & 1).astype(np.uint8),
+            )
+        return self._host
+
+    @property
+    def mz_hash(self):
+        return self._fetch()[0]
+
+    @property
+    def mz_pos(self):
+        return self._fetch()[1]
+
+    @property
+    def mz_strand(self):
+        return self._fetch()[2]
+
+    @property
+    def n_minimizers(self):
+        return len(self.mz_hash)
+
+
+def device_build_enabled() -> bool:
+    """Device-side index sketching policy: opt-out env var, and only
+    when the default backend is an accelerator (the jax-CPU path has no
+    advantage over the threaded numpy sketch)."""
+    import os
+
+    flag = os.environ.get("MONICA_TPU_DEVICE_BUILD", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -249,16 +565,29 @@ def _assign_units(
 
 def _build_shards_threaded(
     assignment, units, k, w, guard, frac, occ_cap
-) -> list[IndexShard]:
+) -> tuple[list, list | None]:
     """Build shards concurrently (the reference's multi_threaded_builder
     analog, database.py:16-33): _build_shard is pure and numpy releases
     the GIL on its large array ops, so a thread per shard overlaps the
-    sketch chains of a multi-shard build."""
+    sketch chains of a multi-shard build.
+
+    Returns (shards, device_info): for a single-shard build on an
+    accelerator backend the shard is built fully device-resident
+    (sketch + sort + hash-table on TPU, _device_hash_table) and
+    device_info carries [(table, tag_bits)]; otherwise device_info is
+    None."""
+    if len(assignment) == 1 and device_build_enabled():
+        out = _build_shard_device(
+            assignment[0], units, k, w, guard, frac, occ_cap
+        )
+        if out is not None:
+            shard, table, tag_bits = out
+            return [shard], [(table, tag_bits)]
     if len(assignment) <= 1:
         return [
             _build_shard(m, units, k, w, guard, frac, occ_cap)
             for m in assignment
-        ]
+        ], None
     from concurrent.futures import ThreadPoolExecutor
 
     # shard threads already saturate the cores: the inner chunk-sketch
@@ -272,7 +601,48 @@ def _build_shards_threaded(
                 ),
                 assignment,
             )
+        ), None
+
+
+def _build_shard_device(
+    members, units, k, w, guard, frac, occ_cap
+):
+    """TPU-resident shard build: pack on host, sketch + sort + hash
+    table on device.  Returns (LazyDeviceShard, table_device, tag_bits)
+    or None to fall back (CPU backend via env, capacity overflow)."""
+    from monica_tpu.ops import lookup as lk
+
+    builder = enc.PackedSeqsBuilder(guard=guard)
+    for ui in members:
+        gi, rec_codes = units[ui]
+        builder.add(rec_codes, gi)
+    packed = builder.build()
+    if len(packed.codes) >= SHARD_CAP:
+        raise ValueError(
+            "index shard exceeds 64 Mbase; raise n_shards or lower "
+            "max_shard_bytes (packed lookup entries need >= 5 tag bits, "
+            "ops/lookup.py MIN_TAG_BITS)"
         )
+    got = _device_sketch_sort_arrays(packed.codes, k, w, frac)
+    if got is None:
+        return None
+    h_dev, ps_dev, total = got
+    tag_bits = lk.tag_bits_for(len(packed.codes))
+    table, _n_kept = _device_hash_table(
+        h_dev, ps_dev, total, tag_bits, occ_cap
+    )
+    pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
+    for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
+        pos_acc[s0 : s0 + ln] = aid
+    shard = LazyDeviceShard(
+        ref_codes=packed.codes,
+        seq_starts=packed.starts,
+        seq_lengths=packed.lengths,
+        seq_accession_id=packed.seq_accession_id,
+        pos_accession_id=pos_acc,
+        h_dev=h_dev, ps_dev=ps_dev, total=total, occ_cap=occ_cap,
+    )
+    return shard, table, tag_bits
 
 
 def _build_shard(
@@ -303,16 +673,27 @@ def _build_shard(
             "max_shard_bytes (packed lookup entries need >= 5 tag bits, "
             "ops/lookup.py MIN_TAG_BITS)"
         )
-    h, pos, strand = sketch_long_sequence(
-        packed.codes, k, w, frac=frac, workers=sketch_workers
+    dev = (
+        _device_sketch_sort(packed.codes, k, w, frac)
+        if device_build_enabled() and len(packed.codes) >= (1 << 21)
+        else None
     )
-    order = np.argsort(h, kind="stable")
-    if occ_cap and len(order):
-        hs = h[order]
+    if dev is not None:
+        h_s, pos_s, strand_s = dev  # already sorted by (hash, pos)
+    else:
+        h, pos, strand = sketch_long_sequence(
+            packed.codes, k, w, frac=frac, workers=sketch_workers
+        )
+        order = np.argsort(h, kind="stable")
+        h_s, pos_s, strand_s = h[order], pos[order], strand[order]
+    if occ_cap and len(h_s):
         # run-length per entry of its equal-hash run; drop long runs
-        starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
-        runlen = np.diff(np.concatenate([starts, [len(hs)]]))
-        order = order[np.repeat(runlen <= occ_cap, runlen)]
+        starts = np.flatnonzero(
+            np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        )
+        runlen = np.diff(np.concatenate([starts, [len(h_s)]]))
+        keep = np.repeat(runlen <= occ_cap, runlen)
+        h_s, pos_s, strand_s = h_s[keep], pos_s[keep], strand_s[keep]
     # per-position accession id for device-side attribution
     pos_acc = np.zeros(max(len(packed.codes), 1), dtype=np.uint16)
     for s0, ln, aid in zip(packed.starts, packed.lengths, packed.seq_accession_id):
@@ -322,9 +703,9 @@ def _build_shard(
         seq_starts=packed.starts,
         seq_lengths=packed.lengths,
         seq_accession_id=packed.seq_accession_id,
-        mz_hash=h[order],
-        mz_pos=pos[order].astype(np.int32),
-        mz_strand=strand[order],
+        mz_hash=h_s,
+        mz_pos=pos_s.astype(np.int32),
+        mz_strand=strand_s,
         pos_accession_id=pos_acc,
     )
 
@@ -366,7 +747,9 @@ def build_index(
         n_shards if max_shard_bytes is None else None,
         max_shard_bytes,
     )
-    shards = _build_shards_threaded(assignment, units, k, w, guard, frac, occ_cap)
+    shards, device = _build_shards_threaded(
+        assignment, units, k, w, guard, frac, occ_cap
+    )
 
     meta = IndexMeta(
         tax_units=tax_units,
@@ -377,7 +760,7 @@ def build_index(
         frac=frac,
         occ_cap=occ_cap,
     )
-    return BuiltIndex(meta=meta, shards=shards)
+    return BuiltIndex(meta=meta, shards=shards, device=device)
 
 
 def build_index_from_arrays(
@@ -407,7 +790,9 @@ def build_index_from_arrays(
         n_shards if max_shard_bytes is None else None,
         max_shard_bytes,
     )
-    shards = _build_shards_threaded(assignment, units, k, w, guard, frac, occ_cap)
+    shards, device = _build_shards_threaded(
+        assignment, units, k, w, guard, frac, occ_cap
+    )
     meta = IndexMeta(
         tax_units=tax_units,
         accessions=accessions,
@@ -417,7 +802,7 @@ def build_index_from_arrays(
         frac=frac,
         occ_cap=occ_cap,
     )
-    return BuiltIndex(meta=meta, shards=shards)
+    return BuiltIndex(meta=meta, shards=shards, device=device)
 
 
 def merge_built(parts: list[BuiltIndex]) -> BuiltIndex:

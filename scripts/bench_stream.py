@@ -81,22 +81,33 @@ def main():
     out = Path("/tmp/bench_stream_out")
     out.mkdir(exist_ok=True)
 
-    # warm the compile caches with a tiny sample so the timed run
-    # measures steady-state streaming (the watcher's situation)
+    # warm the compile caches with a SAME-SHAPE sample so the timed run
+    # measures steady-state streaming (the watcher's situation: a
+    # flowcell size repeats, so its batch plan — and the whole-sample
+    # combined-fetch program keyed on it — compiles once; the
+    # persistent compilation cache carries it across runs too)
     warm = qdir / "warm.fastq"
-    write_fastq(warm, codes[:4096])
+    write_fastq(warm, codes)
     folders = rt.RouteFolders.create(qdir, with_focus=False)
     state = AbundanceState(built.meta.n_accessions)
     rt.process_sample(clf, warm, folders, state, delete=True)
 
+    # 3 timed reps (the 2-core shared host + tunnel inject large
+    # run-to-run variance; see PERF_r04 history note): headline is the
+    # median, quiet-window best kept as a labeled secondary
+    single_reps = []
+    rep = None
     metrics = Metrics(verbose=False)
-    t0 = time.time()
-    rep = rt.process_sample(
-        clf, qdir / "flowcell0.fastq", folders, state, delete=False,
-        metrics=metrics,
-    )
-    dt = time.time() - t0
-    reads_per_s = rep.n_reads / dt
+    for _ in range(3):
+        m = Metrics(verbose=False)
+        t0 = time.time()
+        rep = rt.process_sample(
+            clf, qdir / "flowcell0.fastq", folders, state, delete=False,
+            metrics=m,
+        )
+        single_reps.append(rep.n_reads / (time.time() - t0))
+        metrics = m
+    reads_per_s = float(np.median(single_reps))
 
     stages = {
         k: round(v.items / v.seconds)
@@ -130,20 +141,27 @@ def main():
         rt.process_sample(clf, qs / f"fc{i}.fastq", sfolders, state, delete=True)
     serial_s = time.time() - t0
 
-    qp = Path("/tmp/bench_stream_pipe")
-    write_all(qp)
-    op = Path("/tmp/bench_stream_pipe_out")
-    op.mkdir(exist_ok=True)
-    t0 = time.time()
-    reports = rt.run_once(clf, qp, op)
-    pipe_s = time.time() - t0
-    assert sum(r.n_reads for r in reports) == total
+    pipe_reps = []
+    for _ in range(3):
+        qp = Path("/tmp/bench_stream_pipe")
+        write_all(qp)
+        op = Path("/tmp/bench_stream_pipe_out")
+        op.mkdir(exist_ok=True)
+        t0 = time.time()
+        reports = rt.run_once(clf, qp, op)
+        pipe_s = time.time() - t0
+        assert sum(r.n_reads for r in reports) == total
+        pipe_reps.append(total / pipe_s)
     overlap = {
         "samples": args.samples,
         "reads_per_sample": per_sample,
         "serial_reads_per_s": round(total / serial_s, 1),
-        "pipelined_reads_per_s": round(total / pipe_s, 1),
-        "overlap_speedup": round(serial_s / pipe_s, 3),
+        "pipelined_reads_per_s": round(float(np.median(pipe_reps)), 1),
+        "pipelined_reps": [round(r, 1) for r in pipe_reps],
+        "pipelined_best": round(max(pipe_reps), 1),
+        "overlap_speedup": round(
+            float(np.median(pipe_reps)) * serial_s / total, 3
+        ),
     }
     payload = {
         "metric": "end_to_end_stream_reads_per_s",
@@ -152,6 +170,9 @@ def main():
         "workload": f"{args.reads} x {args.read_len} bp reads, 64 Mbase index, "
                     "run through process_sample (parse/encode/classify/route/count)",
         "device": str(jax.devices()[0].device_kind),
+        "stat": "median_of_3",
+        "single_sample_reps": [round(r, 1) for r in single_reps],
+        "single_sample_best": round(max(single_reps), 1),
         "n_mapped": rep.n_mapped,
         "n_unmapped": rep.n_unmapped,
         "n_ambiguous": rep.n_ambiguous,

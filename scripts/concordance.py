@@ -225,6 +225,16 @@ def main():
                     },
                     "rows": rows,
                     "strain_rows": strain_rows,
+                    "notes": [
+                        "Query-side sketch fast path (seg >= w, frac >= 1): "
+                        "tail segments shorter than w can select a "
+                        "non-winnowed k-mer, deviating from exact index/"
+                        "query winnowed-set parity there (ADVICE r4 item 3; "
+                        "monica_tpu/index/minimizer.py fast-path comment). "
+                        "Effect is sub-seed-level — such a seed just misses "
+                        "in the index — and is included in every accuracy "
+                        "number in this artifact."
+                    ],
                 },
                 fh,
                 indent=1,

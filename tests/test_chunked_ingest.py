@@ -1,0 +1,126 @@
+"""Memory-bounded sample ingest (VERDICT r4 missing #5).
+
+Chunked streaming (io.native.iter_fastq_file_views +
+runtime._process_sample_chunked) must produce results IDENTICAL to the
+whole-file parse: same record set, same routed outputs, same counts —
+with RSS bounded by ~2x the chunk size instead of the file size.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from monica_tpu.io import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def _write_fastq(path, rng, n, minlen=30, maxlen=900):
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    with open(path, "w") as fh:
+        for i in range(n):
+            L = int(rng.integers(minlen, maxlen))
+            s = lut[rng.integers(0, 4, L)].tobytes().decode()
+            seqs.append(s)
+            fh.write(f"@r{i} chunked test\n{s}\n+\n{'I' * L}\n")
+    return seqs
+
+
+@pytest.mark.parametrize("chunk", [1 << 12, 1 << 14, 1 << 20])
+def test_chunk_views_equal_whole_file(tmp_path, chunk):
+    rng = np.random.default_rng(5)
+    p = tmp_path / "s.fastq"
+    seqs = _write_fastq(p, rng, 300)
+    whole = native.parse_fastq_file(p)
+    got_ids, got_seqs = [], []
+    for view in native.iter_fastq_file_views(p, chunk_bytes=chunk):
+        for i in range(len(view)):
+            got_ids.append(view.read_id(i).decode())
+            o, l = view.seq_off[i], view.seq_len[i]
+            got_seqs.append(bytes(view.buf[o : o + l]).decode())
+    assert got_ids == [whole.read_id(i).decode() for i in range(len(whole))]
+    assert got_seqs == seqs
+
+
+def test_chunk_views_gzip(tmp_path):
+    import gzip
+
+    rng = np.random.default_rng(6)
+    p = tmp_path / "s.fastq"
+    _write_fastq(p, rng, 120)
+    gz = tmp_path / "s.fastq.gz"
+    gz.write_bytes(gzip.compress(p.read_bytes()))
+    a = [
+        v.read_id(i).decode()
+        for v in native.iter_fastq_file_views(gz, chunk_bytes=1 << 13)
+        for i in range(len(v))
+    ]
+    assert a == [f"r{i}" for i in range(120)]
+
+
+def test_corrupt_mid_stream_raises(tmp_path):
+    p = tmp_path / "bad.fastq"
+    good = "@r0 x\nACGT\n+\nIIII\n"
+    p.write_text(good * 50 + "not a record\n" + good * 50)
+    with pytest.raises(ValueError, match="malformed"):
+        list(native.iter_fastq_file_views(p, chunk_bytes=1 << 9))
+
+
+def test_process_sample_chunked_equals_whole(tmp_path):
+    """End to end through the runtime: chunked processing must produce
+    identical routed files, counts, and report to whole-file."""
+    from monica_tpu.align import pipeline as pl, runtime as rt
+    from monica_tpu.evaluation import simulate_read_codes
+    from monica_tpu.index.build import build_index_from_arrays
+    from monica_tpu.stats.abundance import AbundanceState
+
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, 4, 60_000).astype(np.uint8) for _ in range(2)]
+    built = build_index_from_arrays(
+        seqs, tax_units=["Alpha_sp", "Beta_sp"]
+    )
+    clf = rt.Classifier(built, pl.ClassifyParams(), count_mode="basic")
+
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    lines = []
+    for i in range(400):
+        r = simulate_read_codes(
+            rng, seqs[i % 2], 500, 0.03, 0.02, 0.02, bool(i % 3 == 0)
+        )
+        lines.append(f"@r{i} t\n{lut[r].tobytes().decode()}\n+\n{'I'*len(r)}\n")
+    payload = "".join(lines)
+
+    results = {}
+    for mode, max_resident in (("whole", 1 << 40), ("chunked", 1)):
+        q = tmp_path / mode
+        q.mkdir()
+        sp = q / "s1.fastq"
+        sp.write_text(payload)
+        folders = rt.RouteFolders.create(q, with_focus=False)
+        state = AbundanceState(built.meta.n_accessions)
+        rep = rt.process_sample(
+            clf, sp, folders, state, delete=True,
+            max_resident_bytes=max_resident, chunk_bytes=1 << 14,
+        )
+        results[mode] = (rep, state, q)
+        assert not sp.exists()
+
+    rw, sw, qw = results["whole"]
+    rc, sc, qc = results["chunked"]
+    assert (rw.n_reads, rw.n_mapped, rw.n_unmapped, rw.n_ambiguous) == (
+        rc.n_reads, rc.n_mapped, rc.n_unmapped, rc.n_ambiguous
+    )
+    np.testing.assert_array_equal(sw.samples["s1"], sc.samples["s1"])
+    for route in ("mapped", "unmapped", "ambiguous"):
+        a = (qw / route / "s1.fastq")
+        b = (qc / route / "s1.fastq")
+        ab = a.read_bytes() if a.exists() else b""
+        bb = b.read_bytes() if b.exists() else b""
+        # chunked appends in chunk order == whole-file route order per
+        # status; compare as record SETS (within-route order can differ
+        # across batch boundaries)
+        assert sorted(ab.split(b"\n")) == sorted(bb.split(b"\n"))
