@@ -240,3 +240,38 @@ def test_pipelined_run_once_matches_serial(classifier, tmp_path):
     for k in st_s:
         assert np.array_equal(st_s[k], st_p[k]), k
     assert rt_s == rt_p
+
+
+def test_combined_fetch_roundtrips_per_batch_fetch(classifier):
+    """The whole-sample combined transfer (dispatch_pack ->
+    combine_packed -> split_combined) must reproduce the per-batch
+    fetch exactly (r5 streaming redesign)."""
+    from monica_tpu.io.encode import encode_seq
+
+    clf, seqs = classifier
+    genomes = [encode_seq(g) for g in seqs]
+    rng = np.random.default_rng(33)
+    handles, golden = [], []
+    for blen in (256, 256, 512):
+        B = 32
+        codes = np.full((B, blen), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i in range(B):
+            g = genomes[int(rng.integers(0, len(genomes)))]
+            s = int(rng.integers(0, len(g) - blen))
+            L = int(rng.integers(blen // 2, blen))
+            codes[i, :L] = g[s : s + L]
+            lens[i] = L
+        res, counts = clf.classify(codes, lens)
+        golden.append(clf.fetch(res, counts))
+        handles.append(clf.dispatch_pack(*clf.classify(codes, lens)))
+    combined = clf.combine_packed(handles)
+    assert combined is not None
+    split = clf.split_combined(combined, handles)
+    assert len(split) == len(golden)
+    for got, want in zip(split, golden):
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # degenerate cases: single batch -> no combine; tuples pass through
+    assert clf.combine_packed(handles[:1]) is None
+    assert clf.combine_packed([(1, 2), handles[0]]) is None
