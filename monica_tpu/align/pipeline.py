@@ -414,8 +414,8 @@ def classify_shard(
         # identity is MAPPED even when too few seeds survived for the
         # vote-based mapq (mappy's own extension plays this role).
         rescued = (
-            (res.f1 >= 2)  # 2 co-diagonal anchors seat the band; the
-            # alignment identity below is the actual evidence
+            (res.f1 >= params.rescue_min_votes)  # anchors seat the
+            # band; the alignment identity below is the actual evidence
             & (res.f2 * 2 <= res.f1)
             & (ext.inv_identity <= params.rescue_nm_rate)
             & (

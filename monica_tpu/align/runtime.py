@@ -525,11 +525,16 @@ def process_sample(
     metrics = metrics or Metrics(verbose=False)
     t0 = time.perf_counter()
     multiproc = _is_multiprocess(classifier)
-    if (
-        sample_path is not None
-        and not multiproc
-        and Path(sample_path).stat().st_size > max_resident_bytes
-    ):
+    if sample_path is not None and not multiproc:
+        sz = Path(sample_path).stat().st_size
+        # gzipped FASTQ expands ~4-8x: compare the ESTIMATED
+        # decompressed size against the residency budget, else a
+        # 200 MB .gz ballooning to >1 GB takes the whole-file path
+        if str(sample_path).endswith(".gz"):
+            sz *= 6
+    else:
+        sz = 0
+    if sz > max_resident_bytes:
         from monica_tpu.io import native
 
         if native.available():

@@ -206,60 +206,14 @@ def _device_sketch_sort(
     0xFFFFFFFF) so they sort strictly last (real pos < 2^27).  Two u32
     transfers return the table; u64 keys are avoided (TPU x64 is off).
     """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
     n = len(codes)
     if n < k:
         e = np.zeros(0)
         return e.astype(np.uint32), e.astype(np.int64), e.astype(np.uint8)
-    seg = _DEV_SEG
-    cap = seg >> _DEV_CAP_SHIFT
-    overlap = 2 * w + k
-    pad_val = jnp.uint32(0xFFFFFFFF)
-
-    @functools.partial(jax.jit, static_argnames=("k", "w", "frac"))
-    def sketch_seg(chunk, start_in_chunk, own_len, base, k, w, frac):
-        h, keep, s = mz.sketch_array(chunk[None], k, w, jnp, frac=frac)
-        h, keep, s = h[0], keep[0], s[0]
-        pos = jnp.arange(keep.shape[0], dtype=jnp.int32)
-        own = keep & (pos >= start_in_chunk) & (pos < start_in_chunk + own_len)
-        count = jnp.sum(own, dtype=jnp.int32)
-        (idx,) = jnp.nonzero(own, size=cap, fill_value=-1)
-        valid = idx >= 0
-        safe = jnp.maximum(idx, 0)
-        gpos = (base - start_in_chunk) + safe  # global position
-        ps = (gpos.astype(jnp.uint32) << 1) | s[safe].astype(jnp.uint32)
-        hh = jnp.where(valid, h[safe], pad_val)
-        ps = jnp.where(valid, ps, pad_val)
-        return hh, ps, count
-
-    chunk_len = seg + 2 * overlap
-    parts_h, parts_ps = [], []
-    total = 0
-    for start in range(0, n - k + 1, seg):
-        stop = min(n, start + seg)
-        lo = max(0, start - overlap)
-        hi = min(n, stop + overlap)
-        chunk = np.full(chunk_len, 4, np.uint8)  # PAD code kills k-mers
-        chunk[: hi - lo] = codes[lo:hi]
-        hh, ps, count = sketch_seg(
-            jnp.asarray(chunk), start - lo, stop - start, start, k, w, frac
-        )
-        c = int(count)
-        if c > cap:
-            return None  # adversarial density (homopolymer ties): host path
-        total += c
-        parts_h.append(hh)
-        parts_ps.append(ps)
-
-    h_all = jnp.concatenate(parts_h)
-    ps_all = jnp.concatenate(parts_ps)
-    h_sorted, ps_sorted = jax.jit(
-        lambda a, b: jax.lax.sort((a, b), num_keys=2)
-    )(h_all, ps_all)
+    got = _device_sketch_sort_arrays(codes, k, w, frac)
+    if got is None:
+        return None
+    h_sorted, ps_sorted, total = got
     h_np = np.asarray(h_sorted)[:total]
     ps_np = np.asarray(ps_sorted)[:total]
     return (
@@ -269,26 +223,22 @@ def _device_sketch_sort(
     )
 
 
-def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
-    """Device variant returning DEVICE arrays: (h_sorted, ps_sorted,
-    total) with pads (0xFFFFFFFF, 0xFFFFFFFF) sorted last, or None on
-    segment-capacity overflow.  Shares all selection/order semantics
-    with :func:`_device_sketch_sort` (which is this + a host fetch)."""
-    import functools
+import functools
 
+
+@functools.lru_cache(maxsize=None)
+def _jit_sketch_seg(cap: int, k: int, w: int, frac: float):
+    """Jitted per-segment sketch+compact, cached by its static config so
+    repeated builds in one process reuse the SAME function object and
+    hit jax.jit's trace cache (a per-call closure re-traces every
+    build)."""
     import jax
     import jax.numpy as jnp
 
-    n = len(codes)
-    if n < k:
-        return None
-    seg = _DEV_SEG
-    cap = seg >> _DEV_CAP_SHIFT
-    overlap = 2 * w + k
     pad_val = jnp.uint32(0xFFFFFFFF)
 
-    @functools.partial(jax.jit, static_argnames=("k", "w", "frac"))
-    def sketch_seg(chunk, start_in_chunk, own_len, base, k, w, frac):
+    @jax.jit
+    def sketch_seg(chunk, start_in_chunk, own_len, base):
         h, keep, s = mz.sketch_array(chunk[None], k, w, jnp, frac=frac)
         h, keep, s = h[0], keep[0], s[0]
         pos = jnp.arange(keep.shape[0], dtype=jnp.int32)
@@ -303,6 +253,31 @@ def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
         ps = jnp.where(valid, ps, pad_val)
         return hh, ps, count
 
+    return sketch_seg
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sort2():
+    import jax
+
+    return jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))
+
+
+def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
+    """Device variant returning DEVICE arrays: (h_sorted, ps_sorted,
+    total) with pads (0xFFFFFFFF, 0xFFFFFFFF) sorted last, or None on
+    segment-capacity overflow.  Shares all selection/order semantics
+    with :func:`_device_sketch_sort` (which is this + a host fetch)."""
+    import jax.numpy as jnp
+
+    n = len(codes)
+    if n < k:
+        return None
+    seg = _DEV_SEG
+    cap = seg >> _DEV_CAP_SHIFT
+    overlap = 2 * w + k
+    sketch_seg = _jit_sketch_seg(cap, k, w, frac)
+
     chunk_len = seg + 2 * overlap
     parts_h, parts_ps = [], []
     total = 0
@@ -313,7 +288,7 @@ def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
         chunk = np.full(chunk_len, 4, np.uint8)
         chunk[: hi - lo] = codes[lo:hi]
         hh, ps, count = sketch_seg(
-            jnp.asarray(chunk), start - lo, stop - start, start, k, w, frac
+            jnp.asarray(chunk), start - lo, stop - start, start
         )
         c = int(count)
         if c > cap:
@@ -324,9 +299,7 @@ def _device_sketch_sort_arrays(codes: np.ndarray, k: int, w: int, frac: float):
 
     h_all = jnp.concatenate(parts_h)
     ps_all = jnp.concatenate(parts_ps)
-    h_sorted, ps_sorted = jax.jit(
-        lambda a, b: jax.lax.sort((a, b), num_keys=2)
-    )(h_all, ps_all)
+    h_sorted, ps_sorted = _jit_sort2()(h_all, ps_all)
     return h_sorted, ps_sorted, total
 
 
@@ -341,32 +314,49 @@ def _device_hash_table(h_sorted, ps_sorted, total: int, tag_bits: int,
 
     Bit-identical to ``ops.lookup.build_hash_rows`` applied after the
     occ-cap run filter (index/build.py _build_shard): (1) equal-hash
-    runs longer than occ_cap are dropped entirely; (2) surviving
-    entries fill their row — top rbits of the hash — in sorted order,
-    truncated at ROW_SLOTS.
+    runs longer than occ_cap are dropped entirely (occ_cap=0 disables
+    the filter, matching the host path's ``if occ_cap`` guard); (2)
+    surviving entries fill their row — top rbits of the hash — in
+    sorted order, truncated at ROW_SLOTS.  Pad entries never merge
+    into a real run: run boundaries break on validity changes, so a
+    real minimizer whose hash happens to be 0xFFFFFFFF keeps its own
+    run length even though pads sort beside it.
 
     Returns (table_device, n_kept:int).
     """
-    import functools
+    from monica_tpu.ops import lookup as lk
 
+    keep, n_kept_dev = _jit_kept_count(int(occ_cap))(
+        h_sorted, ps_sorted, total
+    )
+    n_kept = int(n_kept_dev)  # scalar fetch: sizes the static row count
+    rbits = lk.row_bits_for(n_kept)
+    table = _jit_table_fill(int(tag_bits), int(rbits))(
+        h_sorted, ps_sorted, keep
+    )
+    return table, n_kept
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_kept_count(occ_cap: int):
     import jax
     import jax.numpy as jnp
 
-    from monica_tpu.ops import lookup as lk
-
-    N = int(h_sorted.shape[0])
-
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def kept_count(h, ps, total):
+        N = h.shape[0]
         idx = jnp.arange(N, dtype=jnp.int32)
         valid = idx < total
-        newh = jnp.concatenate(
-            [jnp.ones(1, bool), h[1:] != h[:-1]]
-        )
+        if not occ_cap:
+            return valid, jnp.sum(valid, dtype=jnp.int32)
+        # run boundaries: hash change OR validity change (pads are one
+        # run of their own, never extending a real 0xFFFFFFFF run)
+        brk = (h[1:] != h[:-1]) | (valid[1:] != valid[:-1])
+        newh = jnp.concatenate([jnp.ones(1, bool), brk])
         run_start = jax.lax.associative_scan(
             jnp.maximum, jnp.where(newh, idx, 0)
         )
-        lasth = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, bool)])
+        lasth = jnp.concatenate([brk, jnp.ones(1, bool)])
         run_end = jnp.flip(
             jax.lax.associative_scan(
                 jnp.minimum, jnp.flip(jnp.where(lasth, idx, N - 1))
@@ -376,12 +366,19 @@ def _device_hash_table(h_sorted, ps_sorted, total: int, tag_bits: int,
         keep = valid & (runlen <= occ_cap)
         return keep, jnp.sum(keep, dtype=jnp.int32)
 
-    keep, n_kept_dev = kept_count(h_sorted, ps_sorted, total)
-    n_kept = int(n_kept_dev)  # scalar fetch: sizes the static row count
-    rbits = lk.row_bits_for(n_kept)
+    return kept_count
 
-    @functools.partial(jax.jit, static_argnames=("rbits",))
-    def fill(h, ps, keep, rbits):
+
+@functools.lru_cache(maxsize=None)
+def _jit_table_fill(tag_bits: int, rbits: int):
+    import jax
+    import jax.numpy as jnp
+
+    from monica_tpu.ops import lookup as lk
+
+    @jax.jit
+    def fill(h, ps, keep):
+        N = h.shape[0]
         idx = jnp.arange(N, dtype=jnp.int32)
         n_rows = 1 << rbits
         row = (h >> jnp.uint32(32 - rbits)).astype(jnp.int32)
@@ -406,7 +403,7 @@ def _device_hash_table(h_sorted, ps_sorted, total: int, tag_bits: int,
         table = table.at[rowk, rankk].set(jnp.where(ok, entries, 0))
         return table[:n_rows]
 
-    return fill(h_sorted, ps_sorted, keep, rbits), n_kept
+    return fill
 
 
 class LazyDeviceShard:

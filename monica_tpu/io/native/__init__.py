@@ -135,7 +135,12 @@ class FastqView:
         total = int(self.rec_len[sel].sum() + len(ins) * len(sel))
         out = np.empty(total, dtype=np.uint8)
         if len(sel):
-            zero_len = np.zeros_like(self.id_len)
+            zero_len = getattr(self, "_zero_id_len", None)
+            if zero_len is None:
+                # cached: the mapped route calls this once per accession
+                # per chunk; re-zeroing O(n_records) each time is waste
+                zero_len = np.zeros_like(self.id_len)
+                self._zero_id_len = zero_len
             lib.concat_records_with_id(
                 self.buf,
                 self.rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

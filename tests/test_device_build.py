@@ -116,6 +116,110 @@ def test_classifier_on_device_build_matches_host_build(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_device_table_occ_cap_zero_disables_filter():
+    """occ_cap=0 means 'filter disabled' (host path's `if occ_cap`
+    guard) — the device table must keep every minimizer, not drop all
+    of them (r5 review finding)."""
+    import jax.numpy as jnp
+
+    from monica_tpu.ops import lookup as lk
+
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 4, 1 << 18).astype(np.uint8)
+    got = ib._device_sketch_sort_arrays(
+        codes, mz.K_DEFAULT, mz.W_DEFAULT, mz.FRAC_DEFAULT
+    )
+    h_dev, ps_dev, total = got
+    tag_bits = lk.tag_bits_for(len(codes))
+    table, n_kept = ib._device_hash_table(h_dev, ps_dev, total, tag_bits, 0)
+    assert n_kept == total
+    assert int((np.asarray(table) != 0).sum()) > 0
+
+
+def test_device_table_pad_does_not_merge_max_hash_run():
+    """A real minimizer whose hash is exactly 0xFFFFFFFF sorts beside
+    the pad entries; the run-length filter must not merge them and drop
+    the real entry (r5 review finding)."""
+    import jax.numpy as jnp
+
+    # handcrafted sorted arrays: 3 real entries (last hash = max), 5 pads
+    h = jnp.asarray(
+        np.array([10, 20, 0xFFFFFFFF] + [0xFFFFFFFF] * 5, np.uint32)
+    )
+    ps = jnp.asarray(
+        np.array([2, 4, 6] + [0xFFFFFFFF] * 5, np.uint32)
+    )
+    keep, n_kept = ib._jit_kept_count(4)(h, ps, 3)
+    assert int(n_kept) == 3, np.asarray(keep)
+
+
+def test_full_mode_single_anchor_rescue_matches_rescue_mode():
+    """matching mode (extend_mode='full') must apply the same
+    rescue_min_votes candidacy as the budgeted rescue path, so routes
+    agree across count modes (r5 review finding)."""
+    from monica_tpu.align import pipeline as pl, runtime as rt
+    from monica_tpu.evaluation import simulate_read_codes
+
+    rng = np.random.default_rng(41)
+    seqs = [rng.integers(0, 4, 120_000).astype(np.uint8) for _ in range(2)]
+    built = ib.build_index_from_arrays(seqs)
+    n, L = 256, 400
+    codes = np.full((n, L), 4, np.uint8)
+    lens = np.zeros(n, np.int32)
+    for i in range(n):
+        r = simulate_read_codes(
+            rng, seqs[i % 2], L, 0.08, 0.05, 0.05, bool(i % 3 == 0)
+        )
+        codes[i, : len(r)] = r
+        lens[i] = len(r)
+    statuses = {}
+    for mode in ("basic", "matching"):
+        clf = rt.Classifier(built, pl.ClassifyParams(), count_mode=mode)
+        res, counts = clf.classify(codes, lens)
+        st, ac, _, _ = clf.fetch(res, counts)
+        statuses[mode] = (st.copy(), ac.copy())
+    # identical routing decisions between the rescue and full paths at
+    # r9_old error rates, where single-anchor rescue carries the load
+    np.testing.assert_array_equal(statuses["basic"][0], statuses["matching"][0])
+    np.testing.assert_array_equal(statuses["basic"][1], statuses["matching"][1])
+
+
+def test_gz_size_estimate_triggers_chunking(tmp_path):
+    """A small-on-disk gzipped file whose decompressed size exceeds the
+    residency budget must take the chunked path (r5 review finding)."""
+    import gzip
+
+    from monica_tpu.align import pipeline as pl, runtime as rt
+    from monica_tpu.io import native
+    from monica_tpu.stats.abundance import AbundanceState
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    seqs = [rng.integers(0, 4, 40_000).astype(np.uint8)]
+    built = ib.build_index_from_arrays(seqs, tax_units=["Only_sp"])
+    clf = rt.Classifier(built, pl.ClassifyParams(), count_mode="basic")
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    lines = []
+    for i in range(60):
+        s = int(rng.integers(0, 39_000))
+        seq = lut[seqs[0][s : s + 600]].tobytes().decode()
+        lines.append(f"@r{i} z\n{seq}\n+\n{'I'*600}\n")
+    raw = "".join(lines).encode()
+    gz = tmp_path / "s.fastq.gz"
+    gz.write_bytes(gzip.compress(raw))
+    folders = rt.RouteFolders.create(tmp_path, with_focus=False)
+    state = AbundanceState(built.meta.n_accessions)
+    # budget between compressed size and 6x-estimated size -> only the
+    # gz multiplier can trigger chunking
+    budget = gz.stat().st_size * 3
+    rep = rt.process_sample(
+        clf, gz, folders, state, delete=True,
+        max_resident_bytes=budget, chunk_bytes=1 << 13,
+    )
+    assert rep.n_reads == 60 and rep.n_mapped == 60
+
+
 def test_homopolymer_overflow_falls_back():
     """An adversarial all-ties reference overflows the per-segment
     compaction capacity; _device_sketch_sort must signal fallback
