@@ -139,3 +139,44 @@ def test_two_process_watch_synchronized_exit(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     assert (tmp_path / "watch_ok_0").read_text() == "h0b1,h0b2"
     assert (tmp_path / "watch_ok_1").read_text() == "h1b1"
+
+
+@pytest.mark.timeout(300)
+def test_two_process_schedule_overflow_raises_on_both(tmp_path):
+    """ADVICE r4 item 2: a host whose sample overflows the lockstep
+    plan must NOT raise before the allgather (its peer would hang in
+    the collective) — both processes gather the overflow flag and then
+    raise the same error together."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = str(REPO / "tests" / "multihost_overflow_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", f"127.0.0.1:{port}",
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    deadline = time.time() + 240
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(deadline - time.time(), 1))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    # BOTH processes raised the synchronized error (incl. the one whose
+    # own sample fit the plan)
+    assert (tmp_path / "raised_0").exists()
+    assert (tmp_path / "raised_1").exists()
