@@ -506,8 +506,8 @@ def process_sample(
     max_batch: int = 4096,
     delete: bool = True,
     metrics: Metrics | None = None,
-    max_resident_bytes: int = MAX_RESIDENT_BYTES,
-    chunk_bytes: int = CHUNK_BYTES,
+    max_resident_bytes: int | None = None,  # None -> MAX_RESIDENT_BYTES
+    chunk_bytes: int | None = None,  # None -> CHUNK_BYTES (call-time)
 ) -> SampleReport:
     """Classify one sample file end-to-end and route its reads.
 
@@ -523,6 +523,10 @@ def process_sample(
     dispatch (all-padding batches), touching no files and no state.
     """
     metrics = metrics or Metrics(verbose=False)
+    if max_resident_bytes is None:
+        max_resident_bytes = MAX_RESIDENT_BYTES
+    if chunk_bytes is None:
+        chunk_bytes = CHUNK_BYTES
     t0 = time.perf_counter()
     multiproc = _is_multiprocess(classifier)
     if sample_path is not None and not multiproc:
@@ -883,12 +887,40 @@ def _run_once_samples(
     if not multiproc and len(samples) > 1:
         # single-process multi-sample: overlap host stages across
         # samples (parse i+1 / route i-1 on workers while the device
-        # runs i — the reference's ThreadPool over samples analog)
-        return _run_pipelined(
-            classifier, samples, folders, state, query_folder,
-            focus_taxa, overnight, delete, metrics or Metrics(verbose=False),
-            max_batch,
-        )
+        # runs i — the reference's ThreadPool over samples analog).
+        # Oversized files take the bounded-memory chunked path via
+        # process_sample instead (the pipelined parse is whole-file;
+        # routing a multi-GB flowcell through it would defeat the
+        # O(chunk) RSS bound) — they run serially after the pipeline.
+        def oversized(p) -> bool:
+            sz = Path(p).stat().st_size
+            if str(p).endswith(".gz"):
+                sz *= 6  # estimated decompressed (see process_sample)
+            return sz > MAX_RESIDENT_BYTES
+
+        big = [s for s in samples if oversized(s)]
+        small = [s for s in samples if s not in big]
+        reports: list[SampleReport] = []
+        if len(small) > 1:
+            reports += _run_pipelined(
+                classifier, small, folders, state, query_folder,
+                focus_taxa, overnight, delete,
+                metrics or Metrics(verbose=False), max_batch,
+            )
+            small = []
+        for s in small + big:
+            try:
+                reports.append(
+                    process_sample(
+                        classifier, s, folders, state,
+                        focus_taxa=focus_taxa, overnight=overnight,
+                        delete=delete, metrics=metrics,
+                        max_batch=max_batch,
+                    )
+                )
+            except Exception as e:
+                _quarantine_sample(query_folder, s, e)
+        return reports
     reports: list[SampleReport] = []
     mt = metrics or Metrics(verbose=False)
     for s in samples:

@@ -124,3 +124,57 @@ def test_process_sample_chunked_equals_whole(tmp_path):
         # status; compare as record SETS (within-route order can differ
         # across batch boundaries)
         assert sorted(ab.split(b"\n")) == sorted(bb.split(b"\n"))
+
+
+def test_run_once_routes_oversized_sample_through_chunked_path(
+    tmp_path, monkeypatch
+):
+    """A folder pass mixing normal samples with an oversized one must
+    chunk the big file (bounded RSS) while still pipelining the rest —
+    and produce the same totals as if everything were small."""
+    from monica_tpu.align import pipeline as pl, runtime as rt
+    from monica_tpu.evaluation import simulate_read_codes
+    from monica_tpu.index.build import build_index_from_arrays
+    from monica_tpu.stats.abundance import AbundanceState
+
+    rng = np.random.default_rng(8)
+    seqs = [rng.integers(0, 4, 50_000).astype(np.uint8) for _ in range(2)]
+    built = build_index_from_arrays(seqs, tax_units=["A_sp", "B_sp"])
+    clf = rt.Classifier(built, pl.ClassifyParams(), count_mode="basic")
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    q = tmp_path / "q"
+    q.mkdir()
+    for name, n in (("s1", 40), ("s2", 40), ("big", 120)):
+        with open(q / f"{name}.fastq", "w") as fh:
+            for i in range(n):
+                r = simulate_read_codes(
+                    rng, seqs[i % 2], 400, 0.03, 0.02, 0.02, False
+                )
+                fh.write(
+                    f"@{name}_r{i} t\n{lut[r].tobytes().decode()}\n+\n"
+                    f"{'I' * len(r)}\n"
+                )
+    # force 'big' over the residency bound
+    monkeypatch.setattr(
+        rt, "MAX_RESIDENT_BYTES", (q / "big.fastq").stat().st_size - 1
+    )
+    monkeypatch.setattr(rt, "CHUNK_BYTES", 1 << 13)
+    # spy: the oversized sample must actually take the chunked path
+    chunked_calls = []
+    real = rt._process_sample_chunked
+
+    def spy(classifier, sample_path, *a, **kw):
+        chunked_calls.append(sample_path.name)
+        return real(classifier, sample_path, *a, **kw)
+
+    monkeypatch.setattr(rt, "_process_sample_chunked", spy)
+    reports = rt.run_once(clf, q, tmp_path / "o")
+    assert chunked_calls == ["big.fastq"]
+    by_name = {r.sample: r for r in reports}
+    assert set(by_name) == {"s1", "s2", "big"}
+    assert by_name["big"].n_reads == 120
+    assert sum(r.n_mapped for r in reports) >= 190
+    state = AbundanceState.load(tmp_path / "o", built.meta.n_accessions)
+    assert set(state.samples) == {"s1", "s2", "big"}
+    assert int(sum(state.samples["big"])) == by_name["big"].n_mapped
