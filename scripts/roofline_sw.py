@@ -39,17 +39,25 @@ OPS_PER_CELL_MIN = 6  # the optimistic count used in r4 notes
 
 def measure_vpu_ops_per_s():
     """Achieved int32 elementwise ops/s through jit (the ceiling any
-    VPU-bound kernel can reach on this chip + runtime)."""
+    VPU-bound kernel can reach on this chip + runtime).
+
+    The chain is UNROLLED inside one fused kernel — a lax.while/fori
+    loop pays per-iteration kernel-launch + HBM round-trip overhead
+    (measured ~320 us/iteration on this backend, underestimating the
+    VPU by ~50x); a 256-op unrolled dependent chain over an
+    HBM-resident array amortizes the array traffic to ~1/256 of the
+    op count and measures the ALU rate."""
     size = (1024, 512)  # 512k lanes of int32
-    iters = 512
+    unroll = 256
 
     @jax.jit
     def chain(x):
-        def body(i, y):
-            # 3 dependent integer ops per element per iteration; the
-            # xor of the loop counter defeats constant folding/CSE
-            return (y + x) ^ (y >> 1) ^ i
-        return jax.lax.fori_loop(0, iters, body, x)
+        y = x
+        for i in range(unroll):
+            # 3 dependent integer ops per element per step; the
+            # changing constant defeats CSE/folding
+            y = (y + x) ^ (y >> 1) ^ np.int32(2 * i + 1)
+        return y
 
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 1 << 30, size, dtype=np.int32)
@@ -61,7 +69,7 @@ def measure_vpu_ops_per_s():
         np.asarray(chain(x))
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
-    ops = 4 * iters * size[0] * size[1]  # 3 elementwise + xor-broadcast
+    ops = 3 * unroll * size[0] * size[1]
     return ops / dt
 
 
