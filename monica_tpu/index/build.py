@@ -350,17 +350,16 @@ def _jit_kept_count(occ_cap: int):
         if not occ_cap:
             return valid, jnp.sum(valid, dtype=jnp.int32)
         # run boundaries: hash change OR validity change (pads are one
-        # run of their own, never extending a real 0xFFFFFFFF run)
+        # run of their own, never extending a real 0xFFFFFFFF run).
+        # lax.cummax/cummin lower to compact TPU scan kernels;
+        # associative_scan(jnp.maximum) expands into a program whose
+        # COMPILE time alone was 159 s at 4 Mbase (measured).
         brk = (h[1:] != h[:-1]) | (valid[1:] != valid[:-1])
         newh = jnp.concatenate([jnp.ones(1, bool), brk])
-        run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(newh, idx, 0)
-        )
+        run_start = jax.lax.cummax(jnp.where(newh, idx, 0))
         lasth = jnp.concatenate([brk, jnp.ones(1, bool)])
-        run_end = jnp.flip(
-            jax.lax.associative_scan(
-                jnp.minimum, jnp.flip(jnp.where(lasth, idx, N - 1))
-            )
+        run_end = jax.lax.cummin(
+            jnp.where(lasth, idx, N - 1), reverse=True
         )
         runlen = run_end - run_start + 1
         keep = valid & (runlen <= occ_cap)
@@ -385,9 +384,7 @@ def _jit_table_fill(tag_bits: int, rbits: int):
         newrow = jnp.concatenate(
             [jnp.ones(1, bool), row[1:] != row[:-1]]
         )
-        row_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(newrow, idx, 0)
-        )
+        row_start = jax.lax.cummax(jnp.where(newrow, idx, 0))
         ckeep = jnp.cumsum(keep.astype(jnp.int32))  # inclusive
         before = jnp.where(
             row_start > 0, ckeep[jnp.maximum(row_start - 1, 0)], 0

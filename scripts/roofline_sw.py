@@ -38,39 +38,43 @@ OPS_PER_CELL_MIN = 6  # the optimistic count used in r4 notes
 
 
 def measure_vpu_ops_per_s():
-    """Achieved int32 elementwise ops/s through jit (the ceiling any
-    VPU-bound kernel can reach on this chip + runtime).
+    """Achieved int32 elementwise ops/s (the ceiling any VPU-bound
+    kernel can reach on this chip + runtime), measured DIFFERENTIALLY:
+    wall(unroll=1024) - wall(unroll=256) cancels the fixed per-dispatch
+    cost (the tunneled runtime pays ~25-50 ms of round-trips per call,
+    which swamped absolute timings of any reasonably sized chain), so
+    the slope isolates the ALU rate.  The chain is fully unrolled
+    inside one fused kernel and reduces to a scalar (fetching a full
+    array through the 21 MB/s link measures the link, not the chip)."""
+    size = (2048, 1024)  # 2M lanes of int32
 
-    The chain is UNROLLED inside one fused kernel — a lax.while/fori
-    loop pays per-iteration kernel-launch + HBM round-trip overhead
-    (measured ~320 us/iteration on this backend, underestimating the
-    VPU by ~50x); a 256-op unrolled dependent chain over an
-    HBM-resident array amortizes the array traffic to ~1/256 of the
-    op count and measures the ALU rate."""
-    size = (1024, 512)  # 512k lanes of int32
-    unroll = 256
+    def make(unroll):
+        @jax.jit
+        def chain(x):
+            y = x
+            for i in range(unroll):
+                y = (y + x) ^ (y >> 1) ^ np.int32(2 * i + 1)
+            return y.sum()
 
-    @jax.jit
-    def chain(x):
-        y = x
-        for i in range(unroll):
-            # 3 dependent integer ops per element per step; the
-            # changing constant defeats CSE/folding
-            y = (y + x) ^ (y >> 1) ^ np.int32(2 * i + 1)
-        return y
+        return chain
 
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 1 << 30, size, dtype=np.int32)
     )
-    np.asarray(chain(x))  # compile + sync
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(chain(x))
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
-    ops = 3 * unroll * size[0] * size[1]
-    return ops / dt
+    walls = {}
+    n = size[0] * size[1]
+    for unroll in (256, 1024):
+        f = make(unroll)
+        np.asarray(f(x))  # compile + sync
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        walls[unroll] = float(np.median(ts))
+    d_ops = 3 * (1024 - 256) * n
+    d_t = max(walls[1024] - walls[256], 1e-6)
+    return d_ops / d_t
 
 
 def measure_kernel(band: int, B: int = 4096, L: int = 1024, reps: int = 5):
